@@ -1,0 +1,110 @@
+"""Command line — same flag vocabulary as the reference
+(reference: src/cmdline.rs:9-322), plus TPU-specific extensions under the
+``fwt: TPU execution`` group (batch size, mesh shape, device selection).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fwt",
+        description="fwumious_wabbit_tpu: TPU-native online CTR engine "
+        "(LR + field-aware factorization machines + dense towers)",
+    )
+    # -- input / output ----------------------------------------------------
+    p.add_argument("--data", "-d", help="File with input examples (also .gz/.zst)")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("-p", "--predictions", dest="predictions", help="Output predictions file")
+    p.add_argument(
+        "-c", "--cache", action="store_true", help="Use an input cache file (.fwcache)"
+    )
+    p.add_argument("--save_resume", action="store_true",
+                   help="Required with --final_regressor; keeps optimizer state in the model")
+    p.add_argument("--build_cache_without_training", action="store_true")
+    p.add_argument("-f", "--final_regressor", help="Save final model to this file")
+    p.add_argument("-i", "--initial_regressor", help="Load initial model from this file")
+    p.add_argument("-t", "--testonly", action="store_true", help="Ignore label, only predict")
+    p.add_argument("--predictions_stdout", action="store_true")
+    p.add_argument("--predictions_after", type=int, default=None,
+                   help="Start writing predictions after this many examples")
+    p.add_argument("--holdout_after", type=int, default=None,
+                   help="Stop learning after this many examples (holdout evaluation)")
+    p.add_argument("--prediction_model_delay", type=int, default=None,
+                   help="Evaluate examples with a model this many examples old")
+
+    # -- features ------------------------------------------------------------
+    p.add_argument("--keep", action="append", metavar="NS")
+    p.add_argument("--interactions", action="append", metavar="NSNS")
+    p.add_argument("--linear", action="append", metavar="verbose,names[:weight]")
+    p.add_argument("--transform", action="append", metavar="out=Func(ns)(args)")
+    p.add_argument("--noconstant", action="store_true")
+    p.add_argument("-b", "--bit_precision", type=int, default=None)
+    p.add_argument("--hash", default=None, help="Only --hash all is supported")
+
+    # -- learning ------------------------------------------------------------
+    p.add_argument("-l", "--learning_rate", type=float, default=None)
+    p.add_argument("--minimum_learning_rate", type=float, default=None)
+    p.add_argument("--power_t", type=float, default=None)
+    p.add_argument("--init_acc_gradient", type=float, default=None)
+    p.add_argument("--l2", type=float, default=None)
+    p.add_argument("--sgd", action="store_true")
+    p.add_argument("--adaptive", action="store_true")
+    p.add_argument("--link", default=None)
+    p.add_argument("--loss_function", default=None)
+    p.add_argument("--vwcompat", action="store_true")
+
+    # -- FFM -----------------------------------------------------------------
+    p.add_argument("--ffm_k", type=int, default=None)
+    p.add_argument("--ffm_field", action="append", metavar="NS...")
+    p.add_argument("--ffm_field_verbose", action="append")
+    p.add_argument("--ffm_bit_precision", type=int, default=None)
+    p.add_argument("--ffm_learning_rate", type=float, default=None)
+    p.add_argument("--ffm_power_t", type=float, default=None)
+    p.add_argument("--ffm_init_acc_gradient", type=float, default=None)
+    p.add_argument("--ffm_k_threshold", type=float, default=None)
+    p.add_argument("--ffm_init_center", type=float, default=None)
+    p.add_argument("--ffm_init_width", type=float, default=None)
+    p.add_argument("--ffm_init_zero_band", type=float, default=None)
+    p.add_argument("--ffm_initialization_type", default=None)
+
+    # -- NN tower --------------------------------------------------------------
+    p.add_argument("--nn_layers", type=int, default=None)
+    p.add_argument("--nn", action="append", metavar="layer:param:value")
+    p.add_argument("--nn_topology", default=None, choices=["one", "two", "four", "five"])
+    p.add_argument("--nn_learning_rate", type=float, default=None)
+    p.add_argument("--nn_power_t", type=float, default=None)
+    p.add_argument("--nn_init_acc_gradient", type=float, default=None)
+
+    # -- serving / ops -----------------------------------------------------------
+    p.add_argument("--daemon", action="store_true")
+    p.add_argument("--port", type=int, default=26542)
+    p.add_argument("--num_children", type=int, default=10)
+    p.add_argument("--foreground", action="store_true")
+    p.add_argument("--convert_inference_regressor", help="Output path for inference model")
+    p.add_argument("--weight_quantization", action="store_true")
+
+    # -- hogwild flags accepted for CLI compatibility; on TPU these select the
+    #    synchronous large-batch data-parallel path (see parallel/) -----------
+    p.add_argument("--hogwild_training", action="store_true")
+    p.add_argument("--hogwild_threads", type=int, default=None)
+
+    # -- TPU execution extensions (not in the reference) ----------------------
+    g = p.add_argument_group("fwt: TPU execution")
+    g.add_argument("--fwt_batch_size", type=int, default=1024,
+                   help="Device batch size for the synchronous training step")
+    g.add_argument("--fwt_platform", default=None,
+                   help="Force a JAX platform (cpu/tpu); default: auto")
+    g.add_argument("--fwt_data_axis", type=int, default=None,
+                   help="Number of devices on the data-parallel mesh axis")
+    g.add_argument("--fwt_table_axis", type=int, default=1,
+                   help="Number of devices on the table (row-shard) mesh axis")
+    g.add_argument("--fwt_exact", action="store_true",
+                   help="Batch size 1, f32, no fusion: bit-faithful online mode")
+    return p
+
+
+def parse(argv=None) -> argparse.Namespace:
+    return build_parser().parse_args(argv)
