@@ -1,0 +1,140 @@
+"""Optimizers: SGD, AdaGrad-with-flexible-power_t, and the AdaGrad
+lookup-table fast path.
+
+Update rules are bit-faithful to the reference (reference: src/optimizer.rs):
+
+* SGD: ``update = g * lr`` (src/optimizer.rs:34-37)
+* AdagradFlex: ``acc += g²; update = g * lr * acc^(-power_t)``; NaN/Inf
+  updates are zeroed (src/optimizer.rs:76-89)
+* AdagradLUT: a 2^11-entry table indexed by the top 11 bits of acc's f32 bit
+  pattern; each entry averages ``lr * x^(-power_t)`` at the bucket edges with
+  ``initial_acc_gradient`` folded in (src/optimizer.rs:96-162). On TPU the
+  table lives comfortably in VMEM/SMEM and the lookup vectorizes as a gather.
+
+**Batch semantics.** The reference is an online learner: one update per
+weight per example, gradient summed over the example's contributions
+(reference: src/block_ffm.rs:265-288, SPEED.md). The batched TPU step
+preserves this per-example shape statistically:
+
+    acc  += Σ_examples g_e²          (per-example squared gradients)
+    w    -= (Σ_examples g_e) * rate(acc_new)
+
+At batch size 1 this is exactly the reference's update (one example, one
+acc bump, one weight step). For B>1 the trajectory differs from sequential
+online AdaGrad (as any synchronous batching must); parity is validated
+statistically on the benchmark datasets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+FASTMATH_LR_LUT_BITS = 11
+FASTMATH_LR_LUT_SIZE = 1 << FASTMATH_LR_LUT_BITS
+
+# optimizer kinds (values match the reference's enum for file compat)
+OPT_SGD = 100
+OPT_ADAGRAD_FLEX = 200
+OPT_ADAGRAD_LUT = 300
+
+
+def build_lut(learning_rate: float, power_t: float, initial_acc_gradient: float) -> np.ndarray:
+    """Precompute the 2048-entry learning-rate table
+    (reference: src/optimizer.rs:121-144)."""
+    lut = np.zeros(FASTMATH_LR_LUT_SIZE, dtype=np.float32)
+    minus_power_t = -power_t
+    with np.errstate(all="ignore"):
+        for x in range(FASTMATH_LR_LUT_SIZE):
+            fx = np.uint32(x << (31 - FASTMATH_LR_LUT_BITS)).view(np.float32) + np.float32(
+                initial_acc_gradient
+            )
+            fx1 = np.uint32((x + 1) << (31 - FASTMATH_LR_LUT_BITS)).view(
+                np.float32
+            ) + np.float32(initial_acc_gradient)
+            val = (
+                np.float32(learning_rate)
+                * (np.float32(fx) ** np.float32(minus_power_t)
+                   + np.float32(fx1) ** np.float32(minus_power_t))
+                * np.float32(0.5)
+            )
+            if not np.isfinite(val):
+                val = np.float32(learning_rate)
+            lut[x] = val
+    return lut
+
+
+def lut_rate(acc: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """rate = lut[bits(acc) >> 20] (reference: src/optimizer.rs:146-156)."""
+    key = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(acc, jnp.uint32),
+        jnp.uint32(31 - FASTMATH_LR_LUT_BITS),
+    )
+    return jnp.take(lut, key.astype(jnp.int32), axis=0)
+
+
+def flex_update(gsum, acc_new, learning_rate, power_t):
+    """AdagradFlex update given the already-bumped accumulator; NaN/Inf → 0
+    (reference: src/optimizer.rs:76-89)."""
+    upd = gsum * learning_rate * jnp.power(acc_new, -power_t)
+    return jnp.nan_to_num(upd, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+class ScopedOptimizer:
+    """One optimizer instance per scope (lr / ffm / nn), mirroring the
+    reference's per-block monomorphization (reference: src/block_ffm.rs:50-60).
+    """
+
+    def __init__(self, kind: int, learning_rate: float, power_t: float,
+                 initial_acc_gradient: float):
+        self.kind = kind
+        self.learning_rate = float(learning_rate)
+        self.power_t = float(power_t)
+        self.initial_acc_gradient = float(initial_acc_gradient)
+        self.lut = (
+            build_lut(learning_rate, power_t, initial_acc_gradient)
+            if kind == OPT_ADAGRAD_LUT
+            else None
+        )
+
+    @property
+    def has_state(self) -> bool:
+        return self.kind != OPT_SGD
+
+    def initial_acc(self) -> float:
+        """Initial per-weight accumulator. For LUT the initial gradient is
+        folded into the table instead (reference: src/optimizer.rs:158-161)."""
+        if self.kind == OPT_ADAGRAD_FLEX:
+            return self.initial_acc_gradient
+        return 0.0
+
+    def apply_dense(self, w, acc, gsum, gsq):
+        """Dense update: w/acc/gsum/gsq all same shape. Returns (w, acc)."""
+        if self.kind == OPT_SGD:
+            return w - gsum * self.learning_rate, acc
+        acc_new = acc + gsq
+        if self.kind == OPT_ADAGRAD_LUT:
+            upd = gsum * lut_rate(acc_new, jnp.asarray(self.lut))
+        else:
+            upd = flex_update(gsum, acc_new, self.learning_rate, self.power_t)
+        return w - upd, acc_new
+
+    def apply_scatter(self, w, acc, ids, grads, gsq):
+        """Sparse update of 1-D tables via dense scatter-add of gradients.
+
+        ``ids``/``grads``/``gsq`` are flat occurrence arrays. Weights not
+        touched in this batch receive gsum 0 → update 0 → unchanged (the
+        AdagradFlex 0^(-p)·0=NaN case maps to 0 per the reference rule).
+        """
+        gsum = jnp.zeros_like(w).at[ids].add(grads)
+        if self.kind == OPT_SGD:
+            return w - gsum * self.learning_rate, acc
+        gsq_sum = jnp.zeros_like(w).at[ids].add(gsq)
+        acc_new = acc + gsq_sum
+        if self.kind == OPT_ADAGRAD_LUT:
+            upd = gsum * lut_rate(acc_new, jnp.asarray(self.lut))
+        else:
+            upd = flex_update(gsum, acc_new, self.learning_rate, self.power_t)
+        return w - upd, acc_new

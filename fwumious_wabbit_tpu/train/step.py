@@ -1,0 +1,251 @@
+"""The jitted train/predict steps.
+
+One step = forward + backward + AdaGrad update for a whole padded batch,
+compiled by XLA into a single TPU program (this replaces the reference's
+per-example recursive block sweep, reference: src/regressor.rs:356-379,
+src/block_helpers.rs:218-273).
+
+Gradient architecture:
+
+* the **sparse half** (LR gather/segment-sum + FFM contra-tensor math) gets
+  its cotangents from ``jax.vjp`` — autodiff through the contra formulation
+  reproduces the reference's hand-written FFM backward exactly (verified in
+  tests against golden values);
+* the **dense tower** is backpropagated manually so that per-weight
+  ``Σ_examples g²`` (the AdaGrad accumulator bump the reference applies per
+  example, reference: src/block_neural.rs:266-305) is available as
+  ``(x²)ᵀ(δ²)`` without materializing per-example weight gradients.
+
+The returned predictions are the *training-path* forward values (the
+reference's ``learn()`` returns the pre-update forward prediction,
+reference: src/regressor.rs:356-379).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.model import FwModel, normalize_predict, normalize_train, predict_prob
+
+
+def _tower_forward(model: FwModel, dense, x, train: bool):
+    """Forward through the dense tower keeping residuals for manual backward.
+
+    Returns (logit [B], residuals).
+    """
+    topo = model.topology
+    sigma0 = None
+    if topo == "one":
+        t, joined = x, x
+    elif topo == "two":
+        t, joined = x, None
+    elif topo == "four":
+        if train:
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            w = mean * mean - x
+            var = (jnp.sum(w * w, axis=-1, keepdims=True) + 1e-2) / x.shape[-1]
+            sigma0 = jnp.sqrt(var)
+            t = (x - mean) / sigma0
+        else:
+            t = normalize_predict(x)
+        joined = x
+    elif topo == "five":
+        t, joined = jax.lax.stop_gradient(x), x
+    else:
+        raise ValueError(f'unknown nn topology: "{topo}"')
+
+    acts = []  # per layer: (input, pre_norm_sigma?, relu_mask?, post_norm_sigma?)
+    for spec, layer in zip(model.nn_layers, dense["nn"]):
+        inp = t
+        t = jnp.dot(t, layer["w"], precision=model.precision) + layer["b"]
+        sig_b = None
+        if spec.layernorm == "before":
+            mean = jnp.mean(t, axis=-1, keepdims=True)
+            w = mean * mean - t
+            var = (jnp.sum(w * w, axis=-1, keepdims=True) + 1e-2) / t.shape[-1]
+            sig_b = jnp.sqrt(var)
+            t = (t - mean) / sig_b if train else t / sig_b  # predict path: x/σ
+        mask = None
+        if spec.activation == "relu":
+            mask = t > 0.0
+            t = jnp.where(mask, t, 0.0)
+        sig_a = None
+        if spec.layernorm == "after":
+            mean = jnp.mean(t, axis=-1, keepdims=True)
+            w = mean * mean - t
+            var = (jnp.sum(w * w, axis=-1, keepdims=True) + 1e-2) / t.shape[-1]
+            sig_a = jnp.sqrt(var)
+            t = (t - mean) / sig_a if train else t / sig_a
+        acts.append((inp, sig_b, mask, sig_a))
+
+    final_in = jnp.concatenate([t, joined], axis=-1) if joined is not None else t
+    final = dense["final"]
+    logit = (jnp.dot(final_in, final["w"], precision=model.precision) + final["b"])[:, 0]
+    residuals = (acts, final_in, sigma0)
+    return logit, residuals
+
+
+def _tower_backward(model: FwModel, dense, residuals, dlogit):
+    """Manual backward. Returns (g_x [B,D], grads, gsqs) where grads/gsqs
+    mirror the dense pytree {nn: [...], final: {...}}.
+
+    The normalize blocks backprop g/σ (the reference's rule, not the true
+    gradient — reference: src/block_normalize.rs:99-105); relu masks; the
+    stop-gradient topology passes nothing through the tower to x.
+    """
+    acts, final_in, sigma0 = residuals
+    tower_width = model.nn_layers[-1].width if model.nn_layers else None
+
+    final = dense["final"]
+    g_final_in = dlogit[:, None] * final["w"][:, 0][None, :]  # [B, Din]
+    g_w_final = jnp.dot(final_in.T, dlogit[:, None], precision=model.precision)  # [Din, 1]
+    gsq_w_final = jnp.dot((final_in * final_in).T, (dlogit * dlogit)[:, None], precision=model.precision)
+    g_b_final = jnp.sum(dlogit)[None]
+    gsq_b_final = jnp.sum(dlogit * dlogit)[None]
+
+    if model.topology != "two":
+        g_t = g_final_in[:, :tower_width]
+        g_joined = g_final_in[:, tower_width:]
+    else:
+        g_t, g_joined = g_final_in, None
+
+    nn_grads, nn_gsqs = [], []
+    for spec, layer, (inp, sig_b, mask, sig_a) in zip(
+        reversed(model.nn_layers), reversed(dense["nn"]), reversed(acts)
+    ):
+        if sig_a is not None:
+            g_t = g_t / sig_a
+        if mask is not None:
+            g_t = jnp.where(mask, g_t, 0.0)
+        if sig_b is not None:
+            g_t = g_t / sig_b
+        g_w = jnp.dot(inp.T, g_t, precision=model.precision)
+        gsq_w = jnp.dot((inp * inp).T, g_t * g_t, precision=model.precision)
+        g_b = jnp.sum(g_t, axis=0)
+        gsq_b = jnp.sum(g_t * g_t, axis=0)
+        nn_grads.append({"w": g_w, "b": g_b})
+        nn_gsqs.append({"w": gsq_w, "b": gsq_b})
+        g_t = jnp.dot(g_t, layer["w"].T, precision=model.precision)
+    nn_grads.reverse()
+    nn_gsqs.reverse()
+
+    topo = model.topology
+    if topo == "one":
+        g_x = g_t + g_joined
+    elif topo == "two":
+        g_x = g_t
+    elif topo == "four":
+        g_x = g_t / sigma0 + g_joined
+    else:  # five: stop-gradient into the tower
+        g_x = g_joined
+
+    grads = {"nn": nn_grads, "final": {"w": g_w_final, "b": g_b_final}}
+    gsqs = {"nn": nn_gsqs, "final": {"w": gsq_w_final, "b": gsq_b_final}}
+    return g_x, grads, gsqs
+
+
+def make_train_step(model: FwModel):
+    """Build the jitted train step: (params, batch) → (params, preds)."""
+
+    has_ffm = model.has_ffm
+    has_nn = model.has_nn
+    Fk = model.num_fields * model.ffm_k if has_ffm else 0
+
+    def train_step(params, batch):
+        lr_wg = model.gather_lr(params, batch)  # [B, L]
+        emb = model.gather_ffm(params, batch) if has_ffm else None
+
+        def sparse_to_x(lr_wg, emb):
+            parts = [model.lr_outputs(lr_wg, batch)]
+            if has_ffm:
+                parts.append(model.triangle(model.ffm_outputs(emb, batch)))
+            return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+        if has_ffm:
+            x, sparse_vjp = jax.vjp(sparse_to_x, lr_wg, emb)
+        else:
+            x, sparse_vjp = jax.vjp(lambda lw: sparse_to_x(lw, None), lr_wg)
+
+        if has_nn:
+            logit, residuals = _tower_forward(model, params, x, train=True)
+        else:
+            logit = jnp.sum(x, axis=-1)
+
+        # the reference's general_gradient: (p − label)·importance inside the
+        # ±50 clamp, zero outside / NaN (src/block_loss_functions.rs:122-141)
+        p = predict_prob(logit)
+        gg = (p - batch["label"]) * batch["importance"]
+        inside = (logit >= -50.0) & (logit <= 50.0) & ~jnp.isnan(logit)
+        dlogit = jnp.where(inside, gg, 0.0)
+
+        new_params = dict(params)
+
+        if has_nn:
+            g_x, nn_grads, nn_gsqs = _tower_backward(model, params, residuals, dlogit)
+            new_nn = []
+            for layer, g, q in zip(params["nn"], nn_grads["nn"], nn_gsqs["nn"]):
+                nl = dict(layer)
+                nl["w"], w_acc = model.opt_nn.apply_dense(
+                    layer["w"], layer.get("w_acc"), g["w"], q["w"]
+                )
+                nl["b"], b_acc = model.opt_nn.apply_dense(
+                    layer["b"], layer.get("b_acc"), g["b"], q["b"]
+                )
+                if w_acc is not None:
+                    nl["w_acc"], nl["b_acc"] = w_acc, b_acc
+                new_nn.append(nl)
+            new_params["nn"] = new_nn
+            fl = dict(params["final"])
+            fl["w"], fw_acc = model.opt_nn.apply_dense(
+                params["final"]["w"], params["final"].get("w_acc"),
+                nn_grads["final"]["w"], nn_gsqs["final"]["w"],
+            )
+            fl["b"], fb_acc = model.opt_nn.apply_dense(
+                params["final"]["b"], params["final"].get("b_acc"),
+                nn_grads["final"]["b"], nn_gsqs["final"]["b"],
+            )
+            if fw_acc is not None:
+                fl["w_acc"], fl["b_acc"] = fw_acc, fb_acc
+            new_params["final"] = fl
+        else:
+            g_x = dlogit[:, None] * jnp.ones_like(x)
+
+        if has_ffm:
+            g_lr, g_emb = sparse_vjp(g_x)
+        else:
+            (g_lr,) = sparse_vjp(g_x)
+
+        # sparse LR update: occurrence-level grads; per-example g² bumps acc
+        ids_lr = batch["lr_ids"].reshape(-1)
+        gl = g_lr.reshape(-1)
+        new_params["lr_w"], lr_acc = model.opt_lr.apply_scatter(
+            params["lr_w"], params.get("lr_acc"), ids_lr, gl, gl * gl
+        )
+        if lr_acc is not None:
+            new_params["lr_acc"] = lr_acc
+
+        if has_ffm:
+            B, N = batch["ffm_ids"].shape
+            ids_ffm = (
+                batch["ffm_ids"][:, :, None] + jnp.arange(Fk, dtype=jnp.int32)
+            ).reshape(-1)
+            ge = g_emb.reshape(-1)
+            new_params["ffm_w"], ffm_acc = model.opt_ffm.apply_scatter(
+                params["ffm_w"], params.get("ffm_acc"), ids_ffm, ge, ge * ge
+            )
+            if ffm_acc is not None:
+                new_params["ffm_acc"] = ffm_acc
+
+        return new_params, p
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_predict_step(model: FwModel):
+    def predict_step(params, batch):
+        return model.predict(params, batch)
+
+    return jax.jit(predict_step)
