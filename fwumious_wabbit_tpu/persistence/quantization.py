@@ -1,0 +1,57 @@
+"""FFM-weight 16-bit quantization for inference export.
+
+Same on-disk format as the reference (reference: src/quantization.rs:41-95):
+an 8-byte header (f32 weight_increment LE, f32 min LE) followed by one f16
+per weight holding the *bucket index* ``round((w − min) / increment)``.
+65025 buckets over the [min, max] range; min/max are rounded to 1e-4; a
+|mean| > 10 triggers the exploded-weights warning.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+NUM_BUCKETS = 65025.0
+CRITICAL_WEIGHT_BOUND = 10.0
+MEAN_SAMPLING_RATIO = 10
+PREC = 10_000.0
+
+log = logging.getLogger(__name__)
+
+
+def weight_statistics(weights: np.ndarray):
+    w = np.asarray(weights, np.float32)
+    mn = np.float32(np.round(w.min() * PREC) / PREC)
+    mx = np.float32(np.round(w.max() * PREC) / PREC)
+    mean = np.float32(w[::MEAN_SAMPLING_RATIO].mean())
+    return mn, mx, mean
+
+
+def quantize_ffm_weights(weights: np.ndarray) -> bytes:
+    """→ bytes: 8-byte header + len(weights) f16 bucket indices."""
+    w = np.asarray(weights, np.float32)
+    mn, mx, mean = weight_statistics(w)
+    increment = np.float32((mx - mn) / np.float32(NUM_BUCKETS))
+    if abs(float(mean)) > CRITICAL_WEIGHT_BOUND:
+        log.warning(
+            "Identified a very skewed weight distribution indicating exploded weights,"
+            " not serving that! Mean weight value: %s", mean,
+        )
+    with np.errstate(all="ignore"):
+        intervals = np.round((w - mn) / increment).astype(np.float16)
+    header = np.array([increment, mn], np.float32).tobytes()
+    return header + intervals.tobytes()
+
+
+def dequantize_ffm_weights(data: bytes, n: int) -> np.ndarray:
+    """Inverse of :func:`quantize_ffm_weights` for ``n`` weights."""
+    header = np.frombuffer(data[:8], np.float32)
+    increment, mn = np.float32(header[0]), np.float32(header[1])
+    intervals = np.frombuffer(data[8 : 8 + 2 * n], np.float16).astype(np.float32)
+    return mn + intervals * increment
+
+
+def quantized_size(n: int) -> int:
+    return 8 + 2 * n

@@ -1,0 +1,144 @@
+"""TCP line-protocol daemon (reference: src/serving.rs:28-253).
+
+Protocol: one VW text line in → one ``{:.6f}\\n`` prediction out. In-band
+commands: ``flush`` flushes the socket writer; ``hogwild_load <path>``
+hot-swaps model weights while other connections keep predicting (replies
+``hogwild_load success`` / ``ERR: hogwild_load fail``). Parse errors reply
+``ERR: <message>`` and drop the connection.
+
+Design differences from the reference, TPU-motivated:
+
+* worker threads share one params pytree on device (JAX arrays are immutable
+  and thread-safe to read; a hogwild_load just swaps the reference —
+  in-flight predictions keep their snapshot);
+* per-connection prediction is micro-batched: all lines available on the
+  socket at once are predicted in one device call (the TPU analogue of the
+  reference's per-line loop — the batched step amortizes dispatch overhead
+  across candidates in a request).
+
+``--foreground`` keeps the process attached; otherwise the caller is
+expected to manage daemonization (we deliberately do not fork; container
+runtimes supervise the process instead).
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+
+import numpy as np
+
+from ..ingest.parser import FlushCommand, HogwildLoadCommand, ParseError, VowpalParser
+from ..ingest.translator import Batcher, FeatureTranslator
+from ..persistence import model_file
+from ..train.step import make_predict_step
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+class SharedPredictor:
+    """Holds the jitted predict step + hot-swappable params."""
+
+    def __init__(self, mi, model, params, batch_size: int = 256):
+        self.mi = mi
+        self.model = model
+        self._params = params
+        self._lock = threading.Lock()
+        self._predict = make_predict_step(model)
+        self.batcher = Batcher(batch_size)
+
+    @property
+    def params(self):
+        return self._params
+
+    def hogwild_load(self, path: str) -> None:
+        new_params = model_file.hogwild_load(path, self.model, immutable=True)
+        with self._lock:
+            self._params = new_params
+
+    def predict_examples(self, examples) -> np.ndarray:
+        params = self._params  # snapshot
+        batch = self.batcher.make_batch(examples, pad_to_batch=False)
+        from ..train.loop import _batch_dict
+
+        preds = self._predict(params, _batch_dict(batch))
+        return np.asarray(preds)[: batch.num_examples]
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        server: Serving = self.server.fwt_serving  # type: ignore[attr-defined]
+        parser = VowpalParser(server.vw)
+        translator = FeatureTranslator(server.predictor.mi)
+        out = self.wfile
+        while True:
+            line = self.rfile.readline()
+            if not line:
+                return
+            try:
+                rec = parser.parse_line(line)
+                if rec.size == 0:
+                    return
+                te = translator.translate(rec)
+                p = server.predictor.predict_examples([te])[0]
+                out.write(f"{float(p):.6f}\n".encode())
+                out.flush()
+            except FlushCommand:
+                out.flush()
+            except HogwildLoadCommand as cmd:
+                try:
+                    server.predictor.hogwild_load(cmd.filename)
+                    out.write(b"hogwild_load success\n")
+                    out.flush()
+                except Exception as e:  # noqa: BLE001
+                    log.error("hogwild_load failed: %s", e)
+                    out.write(b"ERR: hogwild_load fail\n")
+                    out.flush()
+                    return
+            except ParseError as e:
+                out.write(f"ERR: {e}\n".encode())
+                out.flush()
+                return
+
+
+class _ThreadedTCPServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+class Serving:
+    """The daemon: N worker threads share one immutable predictor
+    (reference: src/serving.rs:184-253; default port 26542, localhost)."""
+
+    def __init__(self, args, mi, vw, model, params):
+        self.vw = vw
+        self.port = int(getattr(args, "port", None) or 26542)
+        self.num_children = int(getattr(args, "num_children", None) or 10)
+        self.predictor = SharedPredictor(mi, model, params)
+        self._server = None
+
+    def serve(self, host: str = "127.0.0.1") -> None:
+        self._server = _ThreadedTCPServer((host, self.port), _Handler)
+        self._server.fwt_serving = self  # type: ignore[attr-defined]
+        log.info("serving on %s:%d", host, self.port)
+        try:
+            self._server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self._server.server_close()
+
+    def serve_in_background(self, host: str = "127.0.0.1") -> threading.Thread:
+        """Start serving on a daemon thread (used by tests and embedders)."""
+        self._server = _ThreadedTCPServer((host, self.port), _Handler)
+        self._server.fwt_serving = self  # type: ignore[attr-defined]
+        t = threading.Thread(target=self._server.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()

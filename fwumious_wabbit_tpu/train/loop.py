@@ -1,0 +1,285 @@
+"""The driver loop — the reference's ``main_fw_loop`` re-shaped for batched
+TPU execution (reference: src/main.rs:96-292).
+
+Semantics preserved:
+
+* records come from the VW text stream or the input cache (``-c``); when a
+  cache is being built, every parsed record is appended to it;
+* predictions are the *training-path* forward values, written ``{:.6f}`` per
+  example to ``-p`` and/or stdout, starting after ``--predictions_after``;
+* ``--holdout_after N``: examples ≥ N are predicted but not trained
+  (the reference's ``example_num < holdout_after`` check — example numbers
+  are 1-based);
+* ``--prediction_model_delay D``: each example is predicted with the model
+  trained only through example ``i − D`` (training lags a queue of length D);
+* ``--testonly``: no updates at all.
+
+Batched mapping: examples are grouped into fixed-size padded batches; a batch
+is flushed early when the train/holdout boundary crosses it. Predictions come
+out in input order. ``--fwt_batch_size 1`` (or ``--fwt_exact``) reproduces
+the reference's per-example trajectory exactly.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..config.model_instance import ModelInstance
+from ..config.vwmap import VwNamespaceMap
+from ..ingest import cache as fwcache
+from ..ingest.parser import FlushCommand, HogwildLoadCommand, VowpalParser
+from ..ingest.reader import create_buffered_input
+from ..ingest.translator import Batcher, FeatureTranslator
+from ..models.model import FwModel
+from ..persistence import model_file
+from ..train.step import make_predict_step, make_train_step
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def record_stream(args, vw: VwNamespaceMap):
+    """Yield packed u32 records from cache (if valid) or text (writing the
+    cache when ``-c``), mirroring the reference's RecordCache drive
+    (reference: src/cache.rs:53-131, src/main.rs:213-228)."""
+    input_filename = args.data
+    use_cache = bool(getattr(args, "cache", False))
+    cpath = fwcache.cache_path_for(input_filename)
+
+    if use_cache and Path(cpath).exists():
+        try:
+            reader = fwcache.RecordCacheReader(cpath, vw)
+            log.info("using cache file %s", cpath)
+            yield from reader
+            return
+        except (fwcache.StaleCacheError, ValueError) as e:
+            log.warning("cache rejected (%s); reparsing", e)
+
+    writer = fwcache.RecordCacheWriter(cpath, vw) if use_cache else None
+    parser = VowpalParser(vw)
+    stream = create_buffered_input(input_filename)
+    try:
+        while True:
+            try:
+                rec = parser.next_vowpal(stream)
+            except (FlushCommand, HogwildLoadCommand):
+                continue  # in-band commands are no-ops in file mode
+            if rec.size == 0:
+                break
+            if writer is not None:
+                writer.push_record(rec)
+            yield rec
+    finally:
+        if writer is not None:
+            writer.write_finish()
+
+
+def build_cache_without_training(args, vw: VwNamespaceMap) -> int:
+    """--build_cache_without_training (reference: src/main.rs:50-94)."""
+    n = 0
+    for _ in record_stream(args, vw):
+        n += 1
+    log.info("cache built: %d records", n)
+    return n
+
+
+class PredictionWriter:
+    """Writes '{:.6f}' lines to a file and/or stdout
+    (reference: src/main.rs:260-269)."""
+
+    def __init__(self, path: str | None, to_stdout: bool):
+        self._fh = open(path, "w") if path else None
+        self._stdout = to_stdout
+
+    def write(self, p: float) -> None:
+        line = f"{p:.6f}\n"
+        if self._fh:
+            self._fh.write(line)
+        if self._stdout:
+            sys.stdout.write(line)
+
+    def close(self) -> None:
+        if self._fh:
+            self._fh.close()
+
+
+def _batch_dict(batch) -> dict:
+    return {
+        "label": batch.label,
+        "importance": batch.importance,
+        "lr_ids": batch.lr_ids,
+        "lr_vals": batch.lr_vals,
+        "lr_combos": batch.lr_combos,
+        "ffm_ids": batch.ffm_ids,
+        "ffm_vals": batch.ffm_vals,
+        "ffm_fields": batch.ffm_fields,
+    }
+
+
+def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
+                   params=None) -> dict:
+    """The main train/predict loop. Returns {'params', 'examples', 'elapsed'}."""
+    testonly = bool(getattr(args, "testonly", False))
+    batch_size = max(1, int(getattr(args, "fwt_batch_size", 1024) or 1024))
+    if getattr(args, "fwt_exact", False):
+        batch_size = 1
+
+    predictions_after = int(getattr(args, "predictions_after", None) or 0)
+    holdout_after = getattr(args, "holdout_after", None)
+    holdout_after = int(holdout_after) if holdout_after is not None else None
+    delay = int(getattr(args, "prediction_model_delay", None) or 0)
+
+    translator = FeatureTranslator(mi)
+    batcher = Batcher(batch_size)
+    writer = PredictionWriter(
+        getattr(args, "predictions", None), bool(getattr(args, "predictions_stdout", False))
+    )
+
+    train_step = make_train_step(model) if not testonly else None
+    predict_step = make_predict_step(model)
+    if params is None:
+        params = model.init_params()
+
+    pending: list = []
+    pending_update: list = []
+    example_num = 0
+    t0 = time.time()
+
+    # delayed-learning queue of (batch_dict, n) when --prediction_model_delay
+    delayed: list = []
+    delayed_examples = 0
+
+    def flush(params):
+        """Process `pending` as one padded batch."""
+        nonlocal delayed_examples
+        if not pending:
+            return params
+        batch = batcher.make_batch(pending)
+        bd = _batch_dict(batch)
+        n = batch.num_examples
+        first_num = example_num - len(pending) + 1
+
+        if delay == 0:
+            do_update = pending_update[0]
+            if do_update and train_step is not None:
+                params, preds = train_step(params, bd)
+            else:
+                preds = predict_step(params, bd)
+            preds = np.asarray(preds)
+        else:
+            # predict with the lagging model, then train queued batches
+            preds = np.asarray(predict_step(params, bd))
+            delayed.append((bd, n))
+            delayed_examples += n
+            while delayed_examples - delayed[0][1] >= delay:
+                old_bd, old_n = delayed.pop(0)
+                delayed_examples -= old_n
+                if not testonly and train_step is not None:
+                    params, _ = train_step(params, old_bd)
+
+        for i in range(n):
+            if first_num + i > predictions_after:
+                writer.write(float(preds[i]))
+        pending.clear()
+        pending_update.clear()
+        return params
+
+    for rec in record_stream(args, vw):
+        example_num += 1
+        update = not testonly and (holdout_after is None or example_num < holdout_after)
+        if pending and (len(pending) >= batch_size or pending_update[0] != update):
+            params = flush(params)
+        pending.append(translator.translate(rec))
+        pending_update.append(update)
+        if len(pending) >= batch_size:
+            params = flush(params)
+    params = flush(params)
+
+    # drain the delay queue
+    if delay > 0 and not testonly and train_step is not None:
+        for bd, _n in delayed:
+            params, _ = train_step(params, bd)
+
+    writer.close()
+    elapsed = time.time() - t0
+    log.info("Elapsed: %.2fs rows: %d (%.0f ex/s)", elapsed, example_num,
+             example_num / max(elapsed, 1e-9))
+    return {"params": params, "examples": example_num, "elapsed": elapsed}
+
+
+def main(argv=None) -> int:
+    from ..config.cmdline import build_parser
+
+    args = build_parser().parse_args(argv)
+
+    if getattr(args, "fwt_platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.fwt_platform)
+
+    if args.final_regressor and not args.save_resume:
+        log.error(
+            "You need to use --save_resume with --final_regressor,"
+            " for vowpal wabbit compatibility"
+        )
+        return 1
+
+    # -- daemon mode --------------------------------------------------------
+    if args.daemon:
+        from ..serve.server import Serving
+
+        if not args.initial_regressor:
+            log.error("Daemon mode only supports serving from --initial_regressor")
+            return 1
+        mi, vw, model, params = model_file.load_model(
+            args.initial_regressor, immutable=True, args=args
+        )
+        Serving(args, mi, vw, model, params).serve()
+        return 0
+
+    # -- convert to inference regressor --------------------------------------
+    if args.convert_inference_regressor:
+        if not args.initial_regressor:
+            log.error("Convert mode requires --initial_regressor")
+            return 1
+        mi, vw, model, params = model_file.load_model(
+            args.initial_regressor, immutable=True, args=args
+        )
+        if args.weight_quantization:
+            mi.dequantize_weights = True
+        model_file.save_model(
+            args.convert_inference_regressor, mi, vw, model, params,
+            quantize_weights=args.weight_quantization,
+        )
+        return 0
+
+    # -- vwmap + model config -------------------------------------------------
+    if args.initial_regressor:
+        mi, vw, model, params = model_file.load_model(
+            args.initial_regressor, immutable=args.testonly, args=args
+        )
+    else:
+        if not args.data:
+            log.error("--data expected")
+            return 1
+        vw = VwNamespaceMap.from_dataset_dir(args.data)
+        mi = ModelInstance.from_cmdline(args, vw)
+        model = FwModel(mi)
+        params = None
+
+    if args.build_cache_without_training:
+        build_cache_without_training(args, vw)
+        return 0
+
+    result = run_train_loop(args, mi, vw, model, params)
+
+    if args.final_regressor:
+        model_file.save_model(
+            args.final_regressor, mi, vw, model, result["params"],
+            quantize_weights=bool(args.weight_quantization),
+        )
+    return 0
