@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from ..config.model_instance import ModelInstance, Optimizer
 from ..hashing import merand48_array
+from ..ops import tables
 from ..ops.adagrad import (
     OPT_ADAGRAD_FLEX,
     OPT_ADAGRAD_LUT,
@@ -182,11 +183,14 @@ def _parse_nn_layers(mi: ModelInstance) -> list[NNLayerSpec]:
 class FwModel:
     """Static model structure + parameter init + forward math.
 
-    Parameters are a plain dict pytree:
-      lr_w [2^b], lr_acc [2^b]?,
-      ffm_w [2^fb + F·k], ffm_acc?,
+    Parameters are a plain dict pytree. The hashed tables are stored in the
+    TPU-native **row layout** ``[num_rows, 128]`` (see ops/tables.py — scalar
+    gathers are pathological on TPU; row gathers are fast):
+      lr_w [R_lr, 128], lr_acc [R_lr, 128]?,
+      ffm_w [R_ffm, 128], ffm_acc?,
       nn: list of {'w': [in,out] f32, 'b': [out], 'w_acc'?, 'b_acc'?},
       final: same shape dict (1-neuron readout) when a tower is configured.
+    Persistence flattens rows back to the reference's flat arenas.
     """
 
     def __init__(self, mi: ModelInstance, precision: str = "highest"):
@@ -203,6 +207,12 @@ class FwModel:
         self.has_ffm = mi.ffm_k > 0 and self.num_fields > 0
         self.lr_size = 1 << mi.bit_precision
         self.ffm_size = mi.ffm_weights_len
+        self.lr_spec = tables.make_spec(self.lr_size, 1)
+        self.ffm_spec = (
+            tables.make_spec(self.ffm_size, self.num_fields * self.ffm_k)
+            if self.has_ffm
+            else None
+        )
         self.nn_layers = _parse_nn_layers(mi)
         self.has_nn = len(self.nn_layers) > 0
         self.topology = mi.nn_config.topology
@@ -238,9 +248,14 @@ class FwModel:
 
     def init_params(self, seed: int = 0) -> dict:
         mi = self.mi
-        params: dict = {"lr_w": jnp.zeros(self.lr_size, jnp.float32)}
+        params: dict = {
+            "lr_w": jnp.zeros((self.lr_spec.num_rows, tables.LANE), jnp.float32)
+        }
         if self.opt_lr.has_state:
-            params["lr_acc"] = jnp.full(self.lr_size, self.opt_lr.initial_acc(), jnp.float32)
+            params["lr_acc"] = jnp.full(
+                (self.lr_spec.num_rows, tables.LANE),
+                self.opt_lr.initial_acc(), jnp.float32,
+            )
 
         if self.has_ffm:
             n = self.ffm_size
@@ -259,9 +274,12 @@ class FwModel:
                 w = merand48_array(idx) * band_width - band_width * np.float32(0.5)
                 w = np.where(w > 0.0, w + zero_half_band, w - zero_half_band)
                 w = w + np.float32(mi.ffm_init_center)
-            params["ffm_w"] = jnp.asarray(w, jnp.float32)
+            params["ffm_w"] = tables.to_rows(jnp.asarray(w, jnp.float32), self.ffm_spec)
             if self.opt_ffm.has_state:
-                params["ffm_acc"] = jnp.full(n, self.opt_ffm.initial_acc(), jnp.float32)
+                params["ffm_acc"] = jnp.full(
+                    (self.ffm_spec.num_rows, tables.LANE),
+                    self.opt_ffm.initial_acc(), jnp.float32,
+                )
 
         if self.has_nn:
             rng = np.random.default_rng(seed + 12345)
@@ -306,14 +324,16 @@ class FwModel:
         return jnp.einsum("bl,blc->bc", contrib, onehot, precision=self.precision)
 
     def gather_lr(self, params, batch):
-        return jnp.take(params["lr_w"], batch["lr_ids"], axis=0)
+        """Scalar weights w[h] for the LR ids → ([B, L], aux for backward)."""
+        return tables.gather_scalars(params["lr_w"], batch["lr_ids"])
 
     def gather_ffm(self, params, batch):
-        """[B, N, F·k] embedding slabs: feature hash h owns w[h .. h+F·k]."""
-        B, N = batch["ffm_ids"].shape
-        Fk = self.num_fields * self.ffm_k
-        flat_ids = batch["ffm_ids"][:, :, None] + jnp.arange(Fk, dtype=jnp.int32)
-        return jnp.take(params["ffm_w"], flat_ids.reshape(B, N * Fk), axis=0).reshape(B, N, Fk)
+        """[B, N, F·k] embedding slabs → (slabs, aux for backward).
+
+        Feature hash h owns the aligned flat window starting at
+        ``h & ~(align−1)`` (see ops/tables.py — a TPU-friendly re-design of
+        the reference's overlapping windows, src/block_ffm.rs:92-95)."""
+        return tables.gather(params["ffm_w"], batch["ffm_ids"], self.ffm_spec)
 
     def ffm_outputs(self, emb, batch) -> jnp.ndarray:
         """[B, F, F] interaction matrix (reference math, see module docstring).
@@ -382,7 +402,7 @@ class FwModel:
         return jnp.sum(x, axis=-1)
 
     def predict(self, params, batch) -> jnp.ndarray:
-        lr_wg = self.gather_lr(params, batch)
-        emb = self.gather_ffm(params, batch) if self.has_ffm else None
+        lr_wg, _ = self.gather_lr(params, batch)
+        emb = self.gather_ffm(params, batch)[0] if self.has_ffm else None
         logits = self.forward_parts(params, lr_wg, emb, batch, train=False)
         return predict_prob(logits)

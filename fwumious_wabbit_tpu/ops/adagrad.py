@@ -67,12 +67,45 @@ def build_lut(learning_rate: float, power_t: float, initial_acc_gradient: float)
 
 
 def lut_rate(acc: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
-    """rate = lut[bits(acc) >> 20] (reference: src/optimizer.rs:146-156)."""
+    """rate = lut[bits(acc) >> 20] (reference: src/optimizer.rs:146-156).
+
+    Table-lookup form — used in scalar/unit-test contexts. The hot path uses
+    :func:`lut_rate_compute`, which evaluates the same bucket function
+    arithmetically (a 2M-element gather from a 2048-entry table lowers to a
+    sequential loop on TPU; recomputing is pure VPU work)."""
     key = jax.lax.shift_right_logical(
         jax.lax.bitcast_convert_type(acc, jnp.uint32),
         jnp.uint32(31 - FASTMATH_LR_LUT_BITS),
     )
     return jnp.take(lut, key.astype(jnp.int32), axis=0)
+
+
+def lut_rate_compute(acc: jnp.ndarray, learning_rate: float, power_t: float,
+                     initial_acc_gradient: float) -> jnp.ndarray:
+    """The LUT entry for ``acc``, recomputed instead of looked up.
+
+    Bit-identical semantics to :func:`build_lut` + :func:`lut_rate`: quantize
+    ``acc`` to its 11-bit bucket (sign+exponent+mantissa MSBs of the f32 bit
+    pattern), evaluate ``lr·x^(−power_t)`` at both bucket edges with
+    ``initial_acc_gradient`` folded in, average, and clamp non-finite entries
+    to ``lr`` (reference: src/optimizer.rs:121-156). On TPU this is bitcasts,
+    shifts and two pows on the VPU — no memory-bound table gather.
+    """
+    shift = jnp.uint32(31 - FASTMATH_LR_LUT_BITS)
+    key = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(acc, jnp.uint32), shift
+    )
+    e0 = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(key, shift), jnp.float32
+    ) + jnp.float32(initial_acc_gradient)
+    e1 = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(key + jnp.uint32(1), shift), jnp.float32
+    ) + jnp.float32(initial_acc_gradient)
+    mpt = jnp.float32(-power_t)
+    val = jnp.float32(learning_rate) * jnp.float32(0.5) * (
+        jnp.power(e0, mpt) + jnp.power(e1, mpt)
+    )
+    return jnp.where(jnp.isfinite(val), val, jnp.float32(learning_rate))
 
 
 def flex_update(gsum, acc_new, learning_rate, power_t):
@@ -116,25 +149,34 @@ class ScopedOptimizer:
             return w - gsum * self.learning_rate, acc
         acc_new = acc + gsq
         if self.kind == OPT_ADAGRAD_LUT:
-            upd = gsum * lut_rate(acc_new, jnp.asarray(self.lut))
+            upd = gsum * lut_rate_compute(
+                acc_new, self.learning_rate, self.power_t, self.initial_acc_gradient
+            )
         else:
             upd = flex_update(gsum, acc_new, self.learning_rate, self.power_t)
         return w - upd, acc_new
 
-    def apply_scatter(self, w, acc, ids, grads, gsq):
-        """Sparse update of 1-D tables via dense scatter-add of gradients.
+    def apply_rows(self, w, acc, rid, grows):
+        """Sparse update of a row table (see ops/tables.py) — only touched
+        rows move through HBM, never the full table.
 
-        ``ids``/``grads``/``gsq`` are flat occurrence arrays. Weights not
-        touched in this batch receive gsum 0 → update 0 → unchanged (the
-        AdagradFlex 0^(-p)·0=NaN case maps to 0 per the reference rule).
+        ``rid [K]`` row ids (duplicates fine), ``grows [K, 128]``
+        per-occurrence gradient rows. Sequence: scatter-add all squared
+        gradients into the accumulator, re-gather the *bumped* accumulator
+        rows, rate them, scatter-subtract ``rate · g``. Duplicates sum
+        correctly on both scatters and all see the same post-bump rate —
+        i.e. ``acc += Σ g²; w -= rate(acc_new) · Σ g``, the batch form of
+        the reference's per-weight update (reference: src/optimizer.rs:76-89,
+        src/block_ffm.rs:265-288).
         """
-        gsum = jnp.zeros_like(w).at[ids].add(grads)
         if self.kind == OPT_SGD:
-            return w - gsum * self.learning_rate, acc
-        gsq_sum = jnp.zeros_like(w).at[ids].add(gsq)
-        acc_new = acc + gsq_sum
+            return w.at[rid].add(-self.learning_rate * grows), acc
+        acc_new = acc.at[rid].add(grows * grows)
+        acc_rows = jnp.take(acc_new, rid, axis=0)
         if self.kind == OPT_ADAGRAD_LUT:
-            upd = gsum * lut_rate(acc_new, jnp.asarray(self.lut))
+            upd = grows * lut_rate_compute(
+                acc_rows, self.learning_rate, self.power_t, self.initial_acc_gradient
+            )
         else:
-            upd = flex_update(gsum, acc_new, self.learning_rate, self.power_t)
-        return w - upd, acc_new
+            upd = flex_update(grows, acc_rows, self.learning_rate, self.power_t)
+        return w.at[rid].add(-upd), acc_new

@@ -1,0 +1,181 @@
+"""Row-structured hashed weight tables — the TPU-native layout for the
+reference's flat f32 weight arenas (reference: src/block_lr.rs:57-67,
+src/block_ffm.rs:40-95).
+
+Why rows: XLA lowers a gather of K *scalars* from a large table into a
+sequential per-element loop (~1 µs/element on TPU — measured 291 ms for 256k
+scalars from a 2^25 table), while a gather of K *128-lane rows* runs through
+the vector memory path (~4.7 ms for 256k rows, 60× more useful bytes). So
+every table is stored as ``[num_rows, 128]`` f32 and all sparse traffic —
+forward gathers, AdaGrad read-modify-write updates — moves whole rows.
+Sub-row selection is a one-hot contraction (MXU/VPU work, effectively free).
+
+Addressing:
+
+* **LR** (slab = 1 float): hash h owns row ``h >> 7``, lane ``h & 127`` —
+  exactly the reference's flat indexing, reshaped.
+* **FFM** (slab = F·k floats): the reference lets slab windows of different
+  hashes overlap arbitrarily (src/block_ffm.rs:92-95 guard band). We instead
+  align slabs: hash h owns the flat window
+  ``[h & ~(align−1), …) + F·k`` where ``align`` is F·k rounded up to a power
+  of two (≤128) or to a multiple of 128 (>128). Aligned slabs never straddle
+  a row except in whole-row multiples, so a lookup is 1 (or align/128)
+  row-gathers. The table's byte size is unchanged (2^ffm_bit_precision
+  floats, no guard band needed); the effective bucket count is
+  2^fb / align instead of the reference's 2^fb / 2^ceil(log2 k) — an
+  addressing re-design, not a translation (hash semantics stay identical
+  upstream of the mask).
+
+The per-row AdaGrad update preserves the batch-update semantics documented
+in ops/adagrad.py: ``acc += Σ g²`` scatter-added first, then the rate is
+computed from the *bumped* accumulator and ``w -= rate · Σ g`` — duplicate
+ids inside a batch sum correctly because scatter-add accumulates and every
+duplicate sees the same post-bump accumulator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+LANE = 128
+LANE_BITS = 7
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """Static geometry of one row table."""
+
+    logical_size: int  # addressable flat floats (2^bits)
+    slab: int  # floats returned per lookup
+    align: int  # slab address granularity (pow2 or multiple of 128)
+    rows_per_slab: int  # consecutive rows gathered per lookup
+    padded_size: int  # physical flat floats (row multiple)
+
+    @property
+    def num_rows(self) -> int:
+        return self.padded_size // LANE
+
+    @property
+    def positions(self) -> int:
+        """Slab positions per row (align < 128 case)."""
+        return LANE // self.align if self.align <= LANE else 1
+
+
+def make_spec(logical_size: int, slab: int) -> TableSpec:
+    if slab <= LANE:
+        align = _next_pow2(slab)
+        rows_per_slab = 1
+    else:
+        align = round_up(slab, LANE)
+        rows_per_slab = align // LANE
+    padded = round_up(max(logical_size, align), LANE * rows_per_slab)
+    return TableSpec(logical_size, slab, align, rows_per_slab, padded)
+
+
+def to_rows(flat: jnp.ndarray, spec: TableSpec) -> jnp.ndarray:
+    """Flat [n] → [num_rows, 128], zero-padding the tail."""
+    n = flat.shape[0]
+    if n < spec.padded_size:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros(spec.padded_size - n, flat.dtype)]
+        )
+    return flat.reshape(spec.num_rows, LANE)
+
+
+def to_flat(rows: jnp.ndarray, spec: TableSpec) -> jnp.ndarray:
+    """[num_rows, 128] → flat [logical_size]."""
+    return rows.reshape(-1)[: spec.logical_size]
+
+
+# ---------------------------------------------------------------------------
+# gather: ids → slabs
+# ---------------------------------------------------------------------------
+
+
+def gather(table: jnp.ndarray, ids: jnp.ndarray, spec: TableSpec):
+    """Gather slabs for ``ids`` (any leading shape).
+
+    Returns ``(slabs [..., slab], aux)`` — ``aux`` is reused by
+    :func:`expand_grads` to place cotangents back into row layout.
+    """
+    if spec.rows_per_slab == 1:
+        rid = jax.lax.shift_right_logical(ids, LANE_BITS)
+        rows = jnp.take(table, rid, axis=0)  # [..., 128]
+        P = spec.positions
+        if P == 1:
+            slabs = rows[..., : spec.slab]
+            return slabs, (rid, None)
+        pos_bits = (spec.align - 1).bit_length()  # log2(align)
+        pos = jax.lax.shift_right_logical(ids & (LANE - 1), pos_bits)
+        oh = jax.nn.one_hot(pos, P, dtype=table.dtype)  # [..., P]
+        seg = rows.reshape(*rows.shape[:-1], P, spec.align)
+        slabs = jnp.einsum("...p,...pa->...a", oh, seg)[..., : spec.slab]
+        return slabs, (rid, oh)
+    # multi-row slabs (F·k > 128): consecutive whole rows
+    G = spec.rows_per_slab
+    rid0 = jax.lax.shift_right_logical(ids, LANE_BITS)
+    rid = rid0[..., None] + jnp.arange(G, dtype=ids.dtype)  # [..., G]
+    rows = jnp.take(table, rid, axis=0)  # [..., G, 128]
+    slabs = rows.reshape(*rows.shape[:-2], G * LANE)[..., : spec.slab]
+    return slabs, (rid, None)
+
+
+def expand_grads(aux, g: jnp.ndarray, spec: TableSpec):
+    """Per-occurrence slab cotangents ``g [..., slab]`` → row layout.
+
+    Returns ``(rid_flat [K], grows [K, 128])`` ready for :func:`row_update`.
+    """
+    rid, oh = aux
+    pad = (spec.align if spec.rows_per_slab == 1 else spec.rows_per_slab * LANE) - spec.slab
+    if pad:
+        g = jnp.concatenate([g, jnp.zeros((*g.shape[:-1], pad), g.dtype)], axis=-1)
+    if spec.rows_per_slab == 1:
+        if oh is None:
+            grows = g
+        else:
+            P = spec.positions
+            grows = jnp.einsum("...p,...a->...pa", oh, g).reshape(*g.shape[:-1], LANE)
+        return rid.reshape(-1), grows.reshape(-1, LANE)
+    G = spec.rows_per_slab
+    grows = g.reshape(*g.shape[:-1], G, LANE)
+    return rid.reshape(-1), grows.reshape(-1, LANE)
+
+
+# ---------------------------------------------------------------------------
+# scalar tables (LR): lane-level gather/expand
+# ---------------------------------------------------------------------------
+
+
+def gather_scalars(table: jnp.ndarray, ids: jnp.ndarray):
+    """Gather scalar weights w[h] for ``ids`` (any leading shape).
+
+    Returns ``(vals [...], aux)``; the lane selection is a one-hot
+    contraction over the gathered rows.
+    """
+    rid = jax.lax.shift_right_logical(ids, LANE_BITS)
+    lane = ids & (LANE - 1)
+    rows = jnp.take(table, rid, axis=0)  # [..., 128]
+    oh = jax.nn.one_hot(lane, LANE, dtype=table.dtype)
+    vals = jnp.einsum("...l,...l->...", rows, oh)
+    return vals, (rid, oh)
+
+
+def expand_scalar_grads(aux, g: jnp.ndarray):
+    """Scalar cotangents ``g [...]`` → ``(rid_flat [K], grows [K, 128])``."""
+    rid, oh = aux
+    grows = oh * g[..., None]
+    return rid.reshape(-1), grows.reshape(-1, LANE)

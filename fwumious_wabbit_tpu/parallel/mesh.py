@@ -53,7 +53,8 @@ def param_sharding(mesh: Mesh, params: dict) -> dict:
 
     def spec_for(key, leaf):
         if key in ("lr_w", "lr_acc", "ffm_w", "ffm_acc"):
-            return NamedSharding(mesh, P(TABLE_AXIS))
+            # row tables [R, 128]: shard rows, lanes stay whole
+            return NamedSharding(mesh, P(TABLE_AXIS, None))
         return NamedSharding(mesh, P())  # NN params replicated
 
     out = {}
@@ -75,8 +76,8 @@ def batch_sharding(mesh: Mesh, batch: dict) -> dict:
 
 
 def pad_params_for_mesh(model, params: dict, mesh: Mesh) -> dict:
-    """Pad table lengths to a multiple of the table-axis size (rows beyond the
-    hash range are never addressed — masked hashes are < 2^bits)."""
+    """Pad table *row* counts to a multiple of the table-axis size (rows
+    beyond the hash range are never addressed — masked hashes are < 2^bits)."""
     n_table = mesh.shape[TABLE_AXIS]
     if n_table == 1:
         return params
@@ -85,11 +86,12 @@ def pad_params_for_mesh(model, params: dict, mesh: Mesh) -> dict:
     out = dict(params)
     for key in ("lr_w", "lr_acc", "ffm_w", "ffm_acc"):
         if key in out:
-            n = out[key].shape[0]
-            target = round_up(n, n_table * 8)
-            if target != n:
+            rows = out[key].shape[0]
+            target = round_up(rows, n_table)
+            if target != rows:
                 out[key] = jnp.concatenate(
-                    [out[key], jnp.full(target - n, 0.0, out[key].dtype)]
+                    [out[key],
+                     jnp.zeros((target - rows, out[key].shape[1]), out[key].dtype)]
                 )
     return out
 

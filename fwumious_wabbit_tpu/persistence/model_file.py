@@ -103,24 +103,27 @@ def save_model(
 
         blocks: list[bytes] = []
         has_state = model.opt_lr.has_state
-        # LR block: interleaved weight/acc pairs
-        lr_w = _np(params, "lr_w")
+        # LR block: interleaved weight/acc pairs (row tables flattened back
+        # to the reference's flat arena layout)
+        lr_w = _np(params, "lr_w").reshape(-1)[: model.lr_size]
         if has_state:
             lr = np.empty(lr_w.size * 2, np.float32)
             lr[0::2] = lr_w
-            lr[1::2] = _np(params, "lr_acc")
+            lr[1::2] = _np(params, "lr_acc").reshape(-1)[: model.lr_size]
             blocks.append(lr.tobytes())
         else:
             blocks.append(lr_w.tobytes())
 
         if model.has_ffm:
-            ffm_w = _np(params, "ffm_w")
+            ffm_w = _np(params, "ffm_w").reshape(-1)[: model.ffm_size]
             if quantize_weights:
                 blocks.append(quantization.quantize_ffm_weights(ffm_w))
             else:
                 blocks.append(ffm_w.tobytes())
             if model.opt_ffm.has_state:
-                blocks.append(_np(params, "ffm_acc").tobytes())
+                blocks.append(
+                    _np(params, "ffm_acc").reshape(-1)[: model.ffm_size].tobytes()
+                )
 
         if model.has_nn:
             for layer in params["nn"]:
@@ -208,11 +211,20 @@ def load_model(
     model = FwModel(mi)
     import jax.numpy as jnp
 
+    from ..ops import tables
+
+    def _lift(k, v):
+        if k in ("lr_w", "lr_acc"):
+            return tables.to_rows(jnp.asarray(v), model.lr_spec)
+        if k in ("ffm_w", "ffm_acc"):
+            return tables.to_rows(jnp.asarray(v), model.ffm_spec)
+        return jnp.asarray(v)
+
     params = {
         k: ([{kk: jnp.asarray(vv) for kk, vv in layer.items()} for layer in v]
             if k == "nn" else
             ({kk: jnp.asarray(vv) for kk, vv in v.items()} if isinstance(v, dict)
-             else jnp.asarray(v)))
+             else _lift(k, v)))
         for k, v in params.items()
     }
     return mi, vw, model, params

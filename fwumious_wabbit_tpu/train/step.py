@@ -152,11 +152,12 @@ def make_train_step(model: FwModel):
 
     has_ffm = model.has_ffm
     has_nn = model.has_nn
-    Fk = model.num_fields * model.ffm_k if has_ffm else 0
 
     def train_step(params, batch):
-        lr_wg = model.gather_lr(params, batch)  # [B, L]
-        emb = model.gather_ffm(params, batch) if has_ffm else None
+        lr_wg, lr_aux = model.gather_lr(params, batch)  # [B, L]
+        emb, ffm_aux = (
+            model.gather_ffm(params, batch) if has_ffm else (None, None)
+        )
 
         def sparse_to_x(lr_wg, emb):
             parts = [model.lr_outputs(lr_wg, batch)]
@@ -218,23 +219,20 @@ def make_train_step(model: FwModel):
         else:
             (g_lr,) = sparse_vjp(g_x)
 
-        # sparse LR update: occurrence-level grads; per-example g² bumps acc
-        ids_lr = batch["lr_ids"].reshape(-1)
-        gl = g_lr.reshape(-1)
-        new_params["lr_w"], lr_acc = model.opt_lr.apply_scatter(
-            params["lr_w"], params.get("lr_acc"), ids_lr, gl, gl * gl
+        # sparse row updates: only touched rows move through HBM
+        from ..ops import tables
+
+        rid_lr, grows_lr = tables.expand_scalar_grads(lr_aux, g_lr)
+        new_params["lr_w"], lr_acc = model.opt_lr.apply_rows(
+            params["lr_w"], params.get("lr_acc"), rid_lr, grows_lr
         )
         if lr_acc is not None:
             new_params["lr_acc"] = lr_acc
 
         if has_ffm:
-            B, N = batch["ffm_ids"].shape
-            ids_ffm = (
-                batch["ffm_ids"][:, :, None] + jnp.arange(Fk, dtype=jnp.int32)
-            ).reshape(-1)
-            ge = g_emb.reshape(-1)
-            new_params["ffm_w"], ffm_acc = model.opt_ffm.apply_scatter(
-                params["ffm_w"], params.get("ffm_acc"), ids_ffm, ge, ge * ge
+            rid_ffm, grows_ffm = tables.expand_grads(ffm_aux, g_emb, model.ffm_spec)
+            new_params["ffm_w"], ffm_acc = model.opt_ffm.apply_rows(
+                params["ffm_w"], params.get("ffm_acc"), rid_ffm, grows_ffm
             )
             if ffm_acc is not None:
                 new_params["ffm_acc"] = ffm_acc

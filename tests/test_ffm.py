@@ -136,12 +136,15 @@ def test_ffm_forward_matches_bruteforce(F, k, n_feats, seed):
     mi.ffm_bit_precision = 10
     model = FwModel(mi)
     params = model.init_params()
-    weights = np.asarray(params["ffm_w"], np.float64)
+    weights = np.asarray(params["ffm_w"], np.float64).reshape(-1)
 
-    # random features with k-aligned hashes
+    # random features with slab-aligned hashes (our addressing quantizes the
+    # hash to the slab alignment — aligned hashes make the flat-window math
+    # below identical to the reference's h..h+F·k window)
+    align = model.ffm_spec.align
     feats = []
     for _ in range(n_feats):
-        h = int(rng.integers(0, (1 << 10) // k)) * k
+        h = int(rng.integers(0, (1 << 10) // align)) * align
         v = float(rng.uniform(-2, 2))
         f = int(rng.integers(0, F))
         feats.append((h, v, f))
@@ -150,7 +153,7 @@ def test_ffm_forward_matches_bruteforce(F, k, n_feats, seed):
     ref_out = reference_ffm_forward(weights, feats, F, k)
 
     batch = ffm_batch(feats)
-    emb = model.gather_ffm(params, batch)
+    emb = model.gather_ffm(params, batch)[0]
     inter = np.asarray(model.ffm_outputs(emb, batch))[0]
     np.testing.assert_allclose(inter, ref_out, rtol=2e-4, atol=1e-6)
 
