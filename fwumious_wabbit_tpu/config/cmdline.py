@@ -103,6 +103,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Number of devices on the table (row-shard) mesh axis")
     g.add_argument("--fwt_exact", action="store_true",
                    help="Batch size 1, f32, no fusion: bit-faithful online mode")
+    g.add_argument("--fwt_no_native", action="store_true",
+                   help="Disable the C++ ingest engine (use the Python pipeline)")
     return p
 
 

@@ -1,0 +1,224 @@
+"""ctypes bindings for the C++ host-ingest engine (fw_native.cpp).
+
+The native engine parses VW text and translates features into dense padded
+batches, multi-threaded — the TPU-side equivalent of the reference's Rust
+parser + FeatureBufferTranslator hot path (reference: src/parser.rs:214-461,
+src/feature_buffer.rs:137-338). The Python implementations in
+``ingest/parser.py`` / ``ingest/translator.py`` are the semantics oracle;
+tests cross-check the two.
+
+``load()`` compiles the shared library on first use (g++ is in the image) and
+returns None if no toolchain is available — callers fall back to the Python
+path. Transformed namespaces are not implemented natively yet; configs using
+``--transform`` also fall back.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SO = _DIR / "libfw_native.so"
+_lock = threading.Lock()
+_lib = None
+_lib_tried = False
+
+
+def load():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _lib_tried
+    with _lock:
+        if _lib is not None or _lib_tried:
+            return _lib
+        _lib_tried = True
+        try:
+            if not _SO.exists() or _SO.stat().st_mtime < (_DIR / "fw_native.cpp").stat().st_mtime:
+                subprocess.run(
+                    ["make", "-C", str(_DIR), "-s"],
+                    check=True, capture_output=True, text=True,
+                )
+            lib = ctypes.CDLL(str(_SO))
+        except Exception:
+            return None
+        _configure(lib)
+        _lib = lib
+        return _lib
+
+
+def _configure(lib):
+    u32, i32, i64, f32 = ctypes.c_uint32, ctypes.c_int32, ctypes.c_int64, ctypes.c_float
+    P = ctypes.POINTER
+    lib.fwn_create.restype = ctypes.c_void_p
+    lib.fwn_create.argtypes = [
+        ctypes.c_int, ctypes.c_char_p, P(ctypes.c_int), P(ctypes.c_int),
+        P(ctypes.c_int), ctypes.c_int, ctypes.c_int, P(ctypes.c_int),
+        P(ctypes.c_int), P(f32), ctypes.c_int, u32, u32, ctypes.c_int,
+        P(ctypes.c_int), P(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.fwn_destroy.argtypes = [ctypes.c_void_p]
+    lib.fwn_last_error.restype = ctypes.c_char_p
+    lib.fwn_last_error.argtypes = [ctypes.c_void_p]
+    lib.fwn_translate_block.restype = i64
+    lib.fwn_translate_block.argtypes = [ctypes.c_void_p, ctypes.c_char_p, i64]
+    lib.fwn_translate_records.restype = i64
+    lib.fwn_translate_records.argtypes = [ctypes.c_void_p, P(u32), i64]
+    lib.fwn_lr_max.restype = ctypes.c_int
+    lib.fwn_lr_max.argtypes = [ctypes.c_void_p]
+    lib.fwn_ffm_max.restype = ctypes.c_int
+    lib.fwn_ffm_max.argtypes = [ctypes.c_void_p]
+    lib.fwn_records_len.restype = i64
+    lib.fwn_records_len.argtypes = [ctypes.c_void_p]
+    lib.fwn_records_copy.argtypes = [ctypes.c_void_p, P(u32)]
+    lib.fwn_fill.argtypes = [
+        ctypes.c_void_p, i64, i64, i64, P(f32), P(f32), P(i32), P(f32),
+        P(i32), P(i32), P(f32), P(i32),
+    ]
+    lib.fwn_murmur3.restype = u32
+    lib.fwn_murmur3.argtypes = [ctypes.c_char_p, i64, u32]
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    return int(lib.fwn_murmur3(data, len(data), seed))
+
+
+def _iptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+class NativeIngest:
+    """Text/record block → padded batch arrays, in C++.
+
+    One instance per (vwmap, model config, thread count). Not thread-safe;
+    use one per pipeline stage.
+    """
+
+    def __init__(self, mi, vw, num_threads: int | None = None):
+        from ..config.vwmap import NamespaceFormat, NamespaceType
+
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        if mi.transform_namespaces:
+            raise RuntimeError("--transform configs use the Python pipeline")
+        for combo in mi.feature_combo_descs:
+            for d in combo.namespace_descriptors:
+                if d.namespace_type == NamespaceType.TRANSFORMED:
+                    raise RuntimeError("--transform configs use the Python pipeline")
+        for f in mi.ffm_fields:
+            for d in f:
+                if d.namespace_type == NamespaceType.TRANSFORMED:
+                    raise RuntimeError("--transform configs use the Python pipeline")
+        self._lib = lib
+        if num_threads is None:
+            num_threads = max(1, min(8, (os.cpu_count() or 2) - 1))
+
+        names, name_lens, ns_indices, ns_formats = b"", [], [], []
+        for name, desc in vw.vwname_to_descriptor.items():
+            names += name
+            name_lens.append(len(name))
+            ns_indices.append(desc.namespace_index)
+            ns_formats.append(1 if desc.namespace_format == NamespaceFormat.F32 else 0)
+        name_lens = np.asarray([len(name_lens)] + name_lens, np.int32)
+
+        combo_offsets, combo_ns, combo_weights = [0], [], []
+        for combo in mi.feature_combo_descs:
+            combo_ns.extend(d.namespace_index for d in combo.namespace_descriptors)
+            combo_offsets.append(len(combo_ns))
+            combo_weights.append(getattr(combo, "weight", 1.0))
+
+        field_offsets, field_ns = [0], []
+        for f in mi.ffm_fields:
+            field_ns.extend(d.namespace_index for d in f)
+            field_offsets.append(len(field_ns))
+
+        self._ctx = lib.fwn_create(
+            vw.num_namespaces,
+            names,
+            _iptr(name_lens),
+            _iptr(np.asarray(ns_indices, np.int32)),
+            _iptr(np.asarray(ns_formats, np.int32)),
+            int(vw.namespace_skip_prefix),
+            len(mi.feature_combo_descs),
+            _iptr(np.asarray(combo_offsets, np.int32)),
+            _iptr(np.asarray(combo_ns, np.int32)),
+            np.asarray(combo_weights, np.float32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)
+            ),
+            1 if mi.add_constant_feature else 0,
+            np.uint32(mi.lr_hash_mask),
+            np.uint32(mi.ffm_hash_mask if mi.ffm_k > 0 else 0),
+            len(mi.ffm_fields) if mi.ffm_k > 0 else 0,
+            _iptr(np.asarray(field_offsets, np.int32)),
+            _iptr(np.asarray(field_ns, np.int32)),
+            num_threads,
+        )
+        if not self._ctx:
+            raise RuntimeError("fwn_create failed")
+
+    def __del__(self):
+        if getattr(self, "_ctx", None):
+            self._lib.fwn_destroy(self._ctx)
+            self._ctx = None
+
+    def translate_block(self, text: bytes) -> int:
+        """Parse+translate a block of newline-separated VW lines."""
+        n = self._lib.fwn_translate_block(self._ctx, text, len(text))
+        if n < 0:
+            raise ValueError(self._lib.fwn_last_error(self._ctx).decode())
+        return int(n)
+
+    def translate_records(self, records: np.ndarray) -> int:
+        """Translate packed u32 records (the cache read path)."""
+        records = np.ascontiguousarray(records, np.uint32)
+        n = self._lib.fwn_translate_records(
+            self._ctx, records.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            records.size,
+        )
+        if n < 0:
+            raise ValueError(self._lib.fwn_last_error(self._ctx).decode())
+        return int(n)
+
+    def records(self) -> np.ndarray:
+        """Packed u32 records of the last translated block (cache writing)."""
+        n = self._lib.fwn_records_len(self._ctx)
+        out = np.empty(int(n), np.uint32)
+        if n:
+            self._lib.fwn_records_copy(
+                self._ctx, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+            )
+        return out
+
+    def widths(self) -> tuple[int, int]:
+        return int(self._lib.fwn_lr_max(self._ctx)), int(self._lib.fwn_ffm_max(self._ctx))
+
+    def fill(self, n_examples: int, B: int, L: int, N: int):
+        """Materialize the dense padded batch dict for the last block."""
+        i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
+        f32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))  # noqa: E731
+        label = np.zeros(B, np.float32)
+        importance = np.zeros(B, np.float32)
+        lr_ids = np.zeros((B, L), np.int32)
+        lr_vals = np.zeros((B, L), np.float32)
+        lr_combos = np.zeros((B, L), np.int32)
+        ffm_ids = np.zeros((B, N), np.int32)
+        ffm_vals = np.zeros((B, N), np.float32)
+        ffm_fields = np.zeros((B, N), np.int32)
+        self._lib.fwn_fill(
+            self._ctx, B, L, N, f32p(label), f32p(importance), i32p(lr_ids),
+            f32p(lr_vals), i32p(lr_combos), i32p(ffm_ids), f32p(ffm_vals),
+            i32p(ffm_fields),
+        )
+        return {
+            "label": label, "importance": importance,
+            "lr_ids": lr_ids, "lr_vals": lr_vals, "lr_combos": lr_combos,
+            "ffm_ids": ffm_ids, "ffm_vals": ffm_vals, "ffm_fields": ffm_fields,
+        }

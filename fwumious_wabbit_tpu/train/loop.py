@@ -120,6 +120,99 @@ def _batch_dict(batch) -> dict:
     }
 
 
+def _bucket_pow2(n: int, minimum: int = 8) -> int:
+    b = max(minimum, 1)
+    while b < n:
+        b *= 2
+    return b
+
+
+def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
+                        batch_size: int, cut_at: int | None = None):
+    """Yield (batch_dict, n_examples) using the C++ ingest engine
+    (fwumious_wabbit_tpu/native): text or cache records are translated in
+    parallel and scattered straight into padded arrays. Behaviourally
+    identical to the Python path (cross-checked in tests); widths are
+    bucketed to powers of two so the train step compiles for few shapes.
+
+    ``cut_at``: an absolute example number a block must not cross (the
+    train/holdout boundary). Line blocks are cut conservatively by line
+    count — in-band command lines only shrink a block, never push an
+    example past the boundary."""
+    from .. import native as fw_native
+
+    ni = fw_native.NativeIngest(mi, vw)
+    input_filename = args.data
+    use_cache = bool(getattr(args, "cache", False))
+    cpath = fwcache.cache_path_for(input_filename)
+    emitted = 0
+
+    def emit(n):
+        nonlocal emitted
+        emitted += n
+        lmax, nmax = ni.widths()
+        L = _bucket_pow2(lmax)
+        N = _bucket_pow2(nmax) if mi.ffm_k > 0 else 0
+        return ni.fill(n, batch_size if n <= batch_size else n, L, N), n
+
+    def block_cap() -> int:
+        if cut_at is None or emitted >= cut_at:
+            return batch_size
+        return min(batch_size, cut_at - emitted)
+
+    if use_cache and Path(cpath).exists():
+        try:
+            reader = fwcache.RecordCacheReader(cpath, vw)
+            log.info("using cache file %s", cpath)
+            pending: list[np.ndarray] = []
+            for rec in reader:
+                pending.append(rec)
+                if len(pending) >= block_cap():
+                    n = ni.translate_records(np.concatenate(pending))
+                    pending.clear()
+                    yield emit(n)
+            if pending:
+                n = ni.translate_records(np.concatenate(pending))
+                yield emit(n)
+            return
+        except (fwcache.StaleCacheError, ValueError) as e:
+            log.warning("cache rejected (%s); reparsing", e)
+
+    writer = fwcache.RecordCacheWriter(cpath, vw) if use_cache else None
+    stream = create_buffered_input(input_filename)
+    try:
+        pending_lines: list[bytes] = []
+        at_eof = False
+        while not at_eof:
+            line = stream.readline()
+            if not line or not line.strip():
+                # empty line = end of stream, mirroring the reference's
+                # next_vowpal size-0 record (reference: src/main.rs:215-222)
+                at_eof = True
+            else:
+                pending_lines.append(line)
+            if pending_lines and (len(pending_lines) >= block_cap() or at_eof):
+                n = ni.translate_block(b"".join(pending_lines))
+                pending_lines.clear()
+                if n:
+                    if writer is not None:
+                        writer.push_record(ni.records())
+                    yield emit(n)
+    finally:
+        if writer is not None:
+            writer.write_finish()
+
+
+def _use_native(args, mi) -> bool:
+    if getattr(args, "fwt_no_native", False):
+        return False
+    from .. import native as fw_native
+
+    if fw_native.load() is None:
+        return False
+    return not mi.transform_namespaces
+
+
 def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                    params=None) -> dict:
     """The main train/predict loop. Returns {'params', 'examples', 'elapsed'}."""
@@ -144,8 +237,6 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     if params is None:
         params = model.init_params()
 
-    pending: list = []
-    pending_update: list = []
     example_num = 0
     t0 = time.time()
 
@@ -153,19 +244,18 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     delayed: list = []
     delayed_examples = 0
 
-    def flush(params):
-        """Process `pending` as one padded batch."""
-        nonlocal delayed_examples
-        if not pending:
-            return params
-        batch = batcher.make_batch(pending)
-        bd = _batch_dict(batch)
-        n = batch.num_examples
-        first_num = example_num - len(pending) + 1
+    def process(params, bd, n):
+        """One padded batch: train-or-predict, write predictions.
+
+        Batches never span the train/holdout boundary (the producers cut
+        there), so the update flag is uniform per batch."""
+        nonlocal delayed_examples, example_num
+        first_num = example_num + 1
+        example_num += n
+        update = not testonly and (holdout_after is None or first_num < holdout_after)
 
         if delay == 0:
-            do_update = pending_update[0]
-            if do_update and train_step is not None:
+            if update and train_step is not None:
                 params, preds = train_step(params, bd)
             else:
                 preds = predict_step(params, bd)
@@ -173,31 +263,44 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         else:
             # predict with the lagging model, then train queued batches
             preds = np.asarray(predict_step(params, bd))
-            delayed.append((bd, n))
-            delayed_examples += n
-            while delayed_examples - delayed[0][1] >= delay:
+            if update:
+                delayed.append((bd, n))
+                delayed_examples += n
+            while delayed and delayed_examples - delayed[0][1] >= delay:
                 old_bd, old_n = delayed.pop(0)
                 delayed_examples -= old_n
-                if not testonly and train_step is not None:
+                if train_step is not None:
                     params, _ = train_step(params, old_bd)
 
         for i in range(n):
             if first_num + i > predictions_after:
                 writer.write(float(preds[i]))
-        pending.clear()
-        pending_update.clear()
         return params
 
-    for rec in record_stream(args, vw):
-        example_num += 1
-        update = not testonly and (holdout_after is None or example_num < holdout_after)
-        if pending and (len(pending) >= batch_size or pending_update[0] != update):
-            params = flush(params)
-        pending.append(translator.translate(rec))
-        pending_update.append(update)
-        if len(pending) >= batch_size:
-            params = flush(params)
-    params = flush(params)
+    # blocks must end at the train/holdout boundary
+    cut_at = holdout_after - 1 if holdout_after is not None else None
+
+    if _use_native(args, mi):
+        for bd, n in native_batch_stream(args, mi, vw, batch_size, cut_at):
+            params = process(params, bd, n)
+    else:
+        pending: list = []
+
+        def flush(params):
+            if not pending:
+                return params
+            batch = batcher.make_batch(pending)
+            params = process(params, _batch_dict(batch), batch.num_examples)
+            pending.clear()
+            return params
+
+        seen = 0
+        for rec in record_stream(args, vw):
+            seen += 1
+            pending.append(translator.translate(rec))
+            if len(pending) >= batch_size or (cut_at is not None and seen == cut_at):
+                params = flush(params)
+        params = flush(params)
 
     # drain the delay queue
     if delay > 0 and not testonly and train_step is not None:
