@@ -83,6 +83,69 @@ def _configure(lib):
     lib.fwn_murmur3.argtypes = [ctypes.c_char_p, i64, u32]
 
 
+def _configure_ffi(lib):
+    lib.new_fw_predictor_prototype.restype = ctypes.c_void_p
+    lib.new_fw_predictor_prototype.argtypes = [ctypes.c_char_p]
+    lib.clone_lite.restype = ctypes.c_void_p
+    lib.clone_lite.argtypes = [ctypes.c_void_p]
+    for fn in (lib.fw_predict, lib.fw_setup_cache, lib.fw_predict_with_cache):
+        fn.restype = ctypes.c_float
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.free_predictor.argtypes = [ctypes.c_void_p]
+    lib.fw_ffi_last_error.restype = ctypes.c_char_p
+
+
+class EmbeddedPredictor:
+    """Python face of the embedded-inference C API (fw_ffi.cpp) — the
+    equivalent of the reference's cdylib FfiPredictor (reference:
+    src/lib.rs:151-252). Non-Python hosts link libfw_native.so and call the
+    same symbols directly."""
+
+    def __init__(self, command: str, _ptr=None, _proto=None):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        if not hasattr(lib, "_ffi_configured"):
+            _configure_ffi(lib)
+            lib._ffi_configured = True
+        self._lib = lib
+        if _ptr is not None:
+            self._ptr = _ptr
+            self._proto = _proto  # keep the prototype alive
+            return
+        self._proto = None
+        self._ptr = lib.new_fw_predictor_prototype(command.encode())
+        if not self._ptr:
+            raise RuntimeError(lib.fw_ffi_last_error().decode())
+
+    def clone_lite(self) -> "EmbeddedPredictor":
+        ptr = self._lib.clone_lite(self._ptr)
+        return EmbeddedPredictor("", _ptr=ptr, _proto=self)
+
+    def predict(self, line: str | bytes) -> float:
+        if isinstance(line, str):
+            line = line.encode()
+        return float(self._lib.fw_predict(self._ptr, line))
+
+    def setup_cache(self, context: str | bytes) -> float:
+        if isinstance(context, str):
+            context = context.encode()
+        return float(self._lib.fw_setup_cache(self._ptr, context))
+
+    def predict_with_cache(self, delta: str | bytes) -> float:
+        if isinstance(delta, str):
+            delta = delta.encode()
+        return float(self._lib.fw_predict_with_cache(self._ptr, delta))
+
+    def close(self) -> None:
+        if getattr(self, "_ptr", None):
+            self._lib.free_predictor(self._ptr)
+            self._ptr = None
+
+    def __del__(self):
+        self.close()
+
+
 def murmur3_32(data: bytes, seed: int = 0) -> int:
     lib = load()
     if lib is None:

@@ -27,379 +27,10 @@
 #include <unordered_map>
 #include <vector>
 
-namespace {
+#include "fw_core.h"
 
-constexpr uint32_t MASK31 = 0x7fffffffu;
-constexpr uint32_t IS_NOT_SINGLE_MASK = 0x80000000u;
-constexpr uint32_t NO_FEATURES = IS_NOT_SINGLE_MASK;
-constexpr uint32_t NO_LABEL = 0xff;
-constexpr uint32_t FLOAT32_ONE = 1065353216u;  // 1.0f bits
-constexpr uint32_t VOWPAL_FNV_PRIME = 16777619u;
-constexpr uint32_t CONSTANT_HASH = 11650396u;
-constexpr int HEADER_LEN = 3;
+using namespace fwn;
 
-inline uint32_t rotl32(uint32_t x, int r) { return (x << r) | (x >> (32 - r)); }
-
-// MurmurHash3 x86_32 (reference: src/parser.rs:79-88 via fasthash)
-uint32_t murmur3_32(const uint8_t* data, size_t len, uint32_t seed) {
-  const uint32_t c1 = 0xcc9e2d51u, c2 = 0x1b873593u;
-  uint32_t h = seed;
-  const size_t nblocks = len / 4;
-  for (size_t i = 0; i < nblocks; i++) {
-    uint32_t k;
-    std::memcpy(&k, data + 4 * i, 4);
-    k *= c1;
-    k = rotl32(k, 15);
-    k *= c2;
-    h ^= k;
-    h = rotl32(h, 13);
-    h = h * 5 + 0xe6546b64u;
-  }
-  const uint8_t* tail = data + nblocks * 4;
-  uint32_t k = 0;
-  switch (len & 3) {
-    case 3: k ^= uint32_t(tail[2]) << 16; [[fallthrough]];
-    case 2: k ^= uint32_t(tail[1]) << 8; [[fallthrough]];
-    case 1:
-      k ^= uint32_t(tail[0]);
-      k *= c1;
-      k = rotl32(k, 15);
-      k *= c2;
-      h ^= k;
-  }
-  h ^= uint32_t(len);
-  h ^= h >> 16;
-  h *= 0x85ebca6bu;
-  h ^= h >> 13;
-  h *= 0xc2b2ae35u;
-  h ^= h >> 16;
-  return h;
-}
-
-inline uint32_t f32_bits(float x) {
-  uint32_t b;
-  std::memcpy(&b, &x, 4);
-  return b;
-}
-inline float bits_f32(uint32_t b) {
-  float x;
-  std::memcpy(&x, &b, 4);
-  return x;
-}
-
-// strtof on a bounded token; "NONE" → NaN (reference: src/parser.rs parse of
-// float tokens; the Python impl maps b"NONE" to nan)
-bool parse_float_tok(const uint8_t* s, size_t len, float* out) {
-  if (len == 4 && std::memcmp(s, "NONE", 4) == 0) {
-    *out = std::nanf("");
-    return true;
-  }
-  char buf[64];
-  if (len == 0 || len >= sizeof(buf)) return false;
-  std::memcpy(buf, s, len);
-  buf[len] = 0;
-  char* end = nullptr;
-  *out = std::strtof(buf, &end);
-  return end == buf + len;
-}
-
-struct NamespaceInfo {
-  int index;        // namespace_index (slot)
-  int format;       // 0 categorical, 1 f32
-  uint32_t seed;    // murmur3 of the name
-};
-
-struct ComboDesc {
-  std::vector<int> ns;  // namespace indices (slots)
-  float weight;
-};
-
-struct Config {
-  int num_namespaces = 0;
-  std::unordered_map<std::string, NamespaceInfo> lookup;
-  int skip_prefix = 0;
-  std::vector<ComboDesc> combos;
-  bool add_constant = true;
-  uint32_t lr_mask = 0, ffm_mask = 0;
-  std::vector<std::vector<int>> ffm_fields;
-  int num_threads = 1;
-};
-
-// Per-example translated features, SoA within one shard.
-struct Shard {
-  // parsed packed records, concatenated (for cache writing)
-  std::vector<uint32_t> records;
-  // per example
-  std::vector<float> label, importance;
-  std::vector<int32_t> lr_start, ffm_start;  // offsets into feature arrays
-  std::vector<uint32_t> lr_ids;
-  std::vector<float> lr_vals;
-  std::vector<int32_t> lr_combos;
-  std::vector<uint32_t> ffm_ids;
-  std::vector<float> ffm_vals;
-  std::vector<int32_t> ffm_fields;
-  std::string error;
-  void clear() {
-    records.clear();
-    label.clear();
-    importance.clear();
-    lr_start.clear();
-    ffm_start.clear();
-    lr_ids.clear();
-    lr_vals.clear();
-    lr_combos.clear();
-    ffm_ids.clear();
-    ffm_vals.clear();
-    ffm_fields.clear();
-    error.clear();
-  }
-};
-
-struct Ctx {
-  Config cfg;
-  std::vector<Shard> shards;
-  std::string error;
-  int64_t n_examples = 0;
-  int lr_max = 0, ffm_max = 0;
-};
-
-// ---------------------------------------------------------------------------
-// parser: one line → packed u32 record appended to rec
-// (bit-exact port of the contract in ingest/parser.py / reference
-// src/parser.rs:214-461)
-// ---------------------------------------------------------------------------
-
-enum class LineKind { Example, Empty, Flush, HogwildLoad, Error };
-
-LineKind parse_line(const Config& cfg, const uint8_t* line, size_t n,
-                    std::vector<uint32_t>& rec, std::string& err) {
-  while (n && (line[n - 1] == '\n' || line[n - 1] == '\r')) n--;
-  if (n == 0) return LineKind::Empty;
-
-  const size_t base = rec.size();
-  rec.resize(base + HEADER_LEN + cfg.num_namespaces);
-  for (int i = 0; i < cfg.num_namespaces; i++)
-    rec[base + HEADER_LEN + i] = NO_FEATURES;
-  rec[base] = 0;
-
-  uint8_t first = line[0];
-  if (first == '1') {
-    rec[base + 1] = 1;
-  } else if (first == '-') {
-    rec[base + 1] = 0;
-  } else if (first == '|') {
-    rec[base + 1] = NO_LABEL;
-  } else if (n >= 5 && std::memcmp(line, "flush", 5) == 0) {
-    rec.resize(base);
-    return LineKind::Flush;
-  } else if (n > 13 && std::memcmp(line, "hogwild_load ", 13) == 0) {
-    rec.resize(base);
-    return LineKind::HogwildLoad;
-  } else {
-    rec.resize(base);
-    err = "Cannot parse an example";
-    return LineKind::Error;
-  }
-
-  size_t pos = 0;
-  if (rec[base + 1] == NO_LABEL) {
-    rec[base + 2] = FLOAT32_ONE;
-  } else {
-    while (pos < n && line[pos] != ' ') pos++;
-    while (pos < n && line[pos] == ' ') pos++;
-    if (pos < n && line[pos] == '|') {
-      rec[base + 2] = FLOAT32_ONE;
-    } else {
-      size_t start = pos;
-      while (pos < n && line[pos] != ' ') pos++;
-      float imp;
-      if (!parse_float_tok(line + start, pos - start, &imp)) {
-        rec.resize(base);
-        err = "Failed parsing example importance";
-        return LineKind::Error;
-      }
-      if (imp < 0.0f) {
-        rec.resize(base);
-        err = "Example importance cannot be negative";
-        return LineKind::Error;
-      }
-      rec[base + 2] = f32_bits(imp);
-    }
-  }
-
-  while (pos < n && line[pos] != '|') pos++;
-
-  uint32_t cur_seed = 0;
-  size_t cur_slot = base + HEADER_LEN;
-  int cur_format = 0;
-  float cur_ns_weight = 1.0f;
-  int cur_num_features = 0;
-  size_t ns_tail_start = 0;
-
-  while (pos < n) {
-    while (pos < n && line[pos] == ' ') pos++;
-    size_t start = pos;
-    while (pos < n && line[pos] != ' ' && line[pos] != ':') pos++;
-    size_t end_first = pos;
-    while (pos < n && line[pos] != ' ') pos++;
-    size_t end = pos;
-    if (start >= n) break;
-
-    if (line[start] == '|') {
-      std::string name(reinterpret_cast<const char*>(line + start + 1),
-                       end_first - start - 1);
-      if (end_first != end) {
-        if (!parse_float_tok(line + end_first + 1, end - end_first - 1,
-                             &cur_ns_weight)) {
-          rec.resize(base);
-          err = "Failed parsing namespace weight";
-          return LineKind::Error;
-        }
-      } else {
-        cur_ns_weight = 1.0f;
-      }
-      auto it = cfg.lookup.find(name);
-      if (it == cfg.lookup.end()) {
-        rec.resize(base);
-        err = "Feature name was not predeclared in vw_namespace_map.csv: " + name;
-        return LineKind::Error;
-      }
-      cur_seed = it->second.seed;
-      cur_slot = base + HEADER_LEN + it->second.index;
-      cur_format = it->second.format;
-      cur_num_features = 0;
-      ns_tail_start = rec.size() - base;
-    } else {
-      uint32_t h = murmur3_32(line + start, end_first - start, cur_seed) & MASK31;
-      float feat_weight = 1.0f;
-      if (end_first != end) {
-        if (!parse_float_tok(line + end_first + 1, end - end_first - 1,
-                             &feat_weight)) {
-          rec.resize(base);
-          err = "Failed parsing feature weight";
-          return LineKind::Error;
-        }
-      }
-      if (cur_num_features == 0 && cur_format == 0 && cur_ns_weight == 1.0f &&
-          feat_weight == 1.0f) {
-        rec[cur_slot] = h;
-      } else {
-        uint32_t slot_val = rec[cur_slot];
-        if (cur_num_features == 1 && (slot_val & IS_NOT_SINGLE_MASK) == 0) {
-          rec.push_back(slot_val);
-          rec.push_back(FLOAT32_ONE);
-        }
-        rec.push_back(h);
-        if (cur_format == 1) {
-          size_t fstart = start + cfg.skip_prefix;
-          float fval;
-          if (end_first != fstart) {
-            if (!parse_float_tok(line + fstart, end_first - fstart, &fval)) {
-              rec.resize(base);
-              err = "Failed parsing feature value to float (for float namespace)";
-              return LineKind::Error;
-            }
-          } else {
-            fval = std::nanf("");
-          }
-          rec.push_back(f32_bits(fval));
-          if (cur_ns_weight * feat_weight != 1.0f) {
-            rec.resize(base);
-            err = "Namespaces that are f32 can not have weight attached";
-            return LineKind::Error;
-          }
-        } else {
-          rec.push_back(f32_bits(cur_ns_weight * feat_weight));
-        }
-        rec[cur_slot] =
-            IS_NOT_SINGLE_MASK |
-            uint32_t((ns_tail_start << 16) + (rec.size() - base));
-      }
-      cur_num_features++;
-    }
-    pos++;
-  }
-  rec[base] = uint32_t(rec.size() - base);
-  return LineKind::Example;
-}
-
-// ---------------------------------------------------------------------------
-// translator: packed record → LR/FFM feature lists
-// (port of ingest/translator.py / reference src/feature_buffer.rs:137-338)
-// ---------------------------------------------------------------------------
-
-// read (hash, value) pairs of one namespace from a record
-inline void read_ns(const uint32_t* rec, int slot, int format,
-                    std::vector<std::pair<uint32_t, float>>& out) {
-  out.clear();
-  uint32_t tok = rec[HEADER_LEN + slot];
-  if ((tok & IS_NOT_SINGLE_MASK) == 0) {
-    out.emplace_back(tok, 1.0f);
-    return;
-  }
-  if (tok == NO_FEATURES) return;
-  uint32_t start = (tok >> 16) & 0x3fff;
-  uint32_t end = tok & 0xffff;
-  for (uint32_t off = start; off < end; off += 2) {
-    float v = format == 1 ? 1.0f : bits_f32(rec[off + 1]);
-    out.emplace_back(rec[off], v);
-  }
-}
-
-void translate_record(const Config& cfg, const uint32_t* rec,
-                      const std::vector<int>& formats, Shard& sh) {
-  // NO_LABEL stays 255.0, mirroring the Python translator (unlabeled lines
-  // only occur on predict paths where the label is unused)
-  sh.label.push_back(float(rec[1]));
-  sh.importance.push_back(bits_f32(rec[2]));
-  sh.lr_start.push_back(int32_t(sh.lr_ids.size()));
-  sh.ffm_start.push_back(int32_t(sh.ffm_ids.size()));
-
-  thread_local std::vector<std::pair<uint32_t, float>> feats;
-  thread_local std::vector<std::pair<uint32_t, float>> cur, nxt;
-
-  int combo_index = 0;
-  for (const auto& combo : cfg.combos) {
-    read_ns(rec, combo.ns[0], formats[combo.ns[0]], cur);
-    for (size_t d = 1; d < combo.ns.size(); d++) {
-      read_ns(rec, combo.ns[d], formats[combo.ns[d]], feats);
-      nxt.clear();
-      for (const auto& [h_acc, v_acc] : cur) {
-        uint32_t half = h_acc * VOWPAL_FNV_PRIME;
-        for (const auto& [h, v] : feats)
-          nxt.emplace_back(h ^ half, v_acc * v);
-      }
-      std::swap(cur, nxt);
-    }
-    for (const auto& [h, v] : cur) {
-      sh.lr_ids.push_back(h & cfg.lr_mask);
-      sh.lr_vals.push_back(v * combo.weight);
-      sh.lr_combos.push_back(combo_index);
-    }
-    combo_index++;
-  }
-  if (cfg.add_constant) {
-    sh.lr_ids.push_back(CONSTANT_HASH & cfg.lr_mask);
-    sh.lr_vals.push_back(1.0f);
-    sh.lr_combos.push_back(int32_t(cfg.combos.size()));
-  }
-  if (!cfg.ffm_fields.empty()) {
-    int field_index = 0;
-    for (const auto& field : cfg.ffm_fields) {
-      for (int slot : field) {
-        read_ns(rec, slot, formats[slot], feats);
-        for (const auto& [h, v] : feats) {
-          sh.ffm_ids.push_back(h & cfg.ffm_mask);
-          sh.ffm_vals.push_back(v);
-          sh.ffm_fields.push_back(field_index);
-        }
-      }
-      field_index++;
-    }
-  }
-}
-
-}  // namespace
 
 // ---------------------------------------------------------------------------
 // C ABI

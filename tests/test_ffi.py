@@ -1,0 +1,146 @@
+"""Embedded inference C API (fw_ffi.cpp) vs the JAX model.
+
+Covers the reference's cdylib surface (reference: src/lib.rs:151-252):
+prototype load, clone_lite, fw_predict, and the 3-call context cache
+(fw_setup_cache + fw_predict_with_cache must equal a full fw_predict on the
+concatenated line)."""
+
+import numpy as np
+import pytest
+
+from fwumious_wabbit_tpu import native
+from fwumious_wabbit_tpu.config.cmdline import build_parser
+from fwumious_wabbit_tpu.config.model_instance import ModelInstance
+from fwumious_wabbit_tpu.config.vwmap import VwNamespaceMap
+from fwumious_wabbit_tpu.ingest.parser import VowpalParser
+from fwumious_wabbit_tpu.ingest.translator import Batcher, FeatureTranslator
+from fwumious_wabbit_tpu.models.model import FwModel
+from fwumious_wabbit_tpu.persistence import model_file
+from fwumious_wabbit_tpu.train.loop import _batch_dict
+from fwumious_wabbit_tpu.train.step import make_predict_step, make_train_step
+
+pytestmark = pytest.mark.skipif(native.load() is None, reason="no native toolchain")
+
+VW_CSV = "A,animal\nB,food\nC,ctx\n"
+
+TRAIN_LINES = [
+    b"1 |A cat |B milk |C ctx1\n",
+    b"-1 |A dog |B stone |C ctx2\n",
+    b"1 |A horse |B hay |C ctx1 ctx3\n",
+    b"-1 |A cat |B stone |C ctx2\n",
+    b"1 |A dog |B bone |C ctx3\n",
+    b"-1 |A horse |B milk:0.5 |C ctx1\n",
+] * 4
+
+
+def trained_model(tmp_path, extra_flags=(), train=True):
+    (tmp_path / "vw_namespace_map.csv").write_text(VW_CSV)
+    vw = VwNamespaceMap.from_dataset_dir(str(tmp_path / "data.vw"))
+    args = build_parser().parse_args(
+        ["--keep", "A", "--keep", "B", "--interactions", "AB",
+         "--ffm_k", "4", "--ffm_field", "A", "--ffm_field", "BC",
+         "-b", "20", "--ffm_bit_precision", "20", "--adaptive",
+         "-l", "0.1", "--power_t", "0.5", "--data", "x", *extra_flags]
+    )
+    mi = ModelInstance.from_cmdline(args, vw)
+    model = FwModel(mi)
+    params = model.init_params()
+    if train:
+        parser = VowpalParser(vw)
+        ft = FeatureTranslator(mi)
+        step = make_train_step(model)
+        tes = [ft.translate(parser.parse_line(l)) for l in TRAIN_LINES]
+        batch = Batcher(len(tes)).make_batch(tes, pad_to_batch=False)
+        for _ in range(3):
+            params, _ = step(params, _batch_dict(batch))
+    path = tmp_path / "model.fwt"
+    model_file.save_model(path, mi, vw, model, params)
+    return path, mi, vw
+
+
+def jax_predictions(model_path, lines):
+    mi, vw, model, params = model_file.load_model(model_path, immutable=True)
+    parser = VowpalParser(vw)
+    ft = FeatureTranslator(mi)
+    predict = make_predict_step(model)
+    tes = [ft.translate(parser.parse_line(l)) for l in lines]
+    batch = Batcher(len(tes)).make_batch(tes, pad_to_batch=False)
+    return np.asarray(predict(params, _batch_dict(batch)))
+
+
+TEST_LINES = [
+    b"1 |A cat |B milk |C ctx1\n",
+    b"-1 |A wolf |B meat |C ctx9\n",
+    b"|A cat mouse |B hay:1.5 water |C ctx1 ctx2\n",
+    b"1 |B bone\n",
+    b"-1 |A dog\n",
+]
+
+
+def test_ffi_matches_jax(tmp_path):
+    path, _mi, _vw = trained_model(tmp_path)
+    pred = native.EmbeddedPredictor(f"-i {path}")
+    jp = jax_predictions(path, TEST_LINES)
+    for line, expected in zip(TEST_LINES, jp):
+        got = pred.predict(line)
+        assert abs(got - float(expected)) < 2e-5, (line, got, float(expected))
+    pred.close()
+
+
+def test_ffi_cache_equals_full_predict(tmp_path):
+    path, _mi, _vw = trained_model(tmp_path)
+    pred = native.EmbeddedPredictor(f"-i {path}")
+    context = b"1 |A cat mouse |C ctx1 ctx2"
+    deltas = [b" |B milk\n", b" |B stone bone\n", b" |B hay:2.0\n"]
+    pred.setup_cache(context + b"\n")
+    for delta in deltas:
+        full = pred.predict(context + delta)
+        cached = pred.predict_with_cache(delta)
+        assert abs(full - cached) < 1e-6, (delta, full, cached)
+    pred.close()
+
+
+def test_ffi_clone_lite_shares_weights(tmp_path):
+    path, _mi, _vw = trained_model(tmp_path)
+    proto = native.EmbeddedPredictor(f"-i {path}")
+    clones = [proto.clone_lite() for _ in range(4)]
+    line = TEST_LINES[0]
+    expected = proto.predict(line)
+    for c in clones:
+        assert c.predict(line) == expected
+    # clones have independent caches
+    clones[0].setup_cache(b"1 |A cat")
+    p0 = clones[0].predict_with_cache(b" |B milk\n")
+    p1 = clones[1].predict(b"1 |A cat |B milk\n")
+    assert abs(p0 - p1) < 1e-6
+    for c in clones:
+        c.close()
+    proto.close()
+
+
+def test_ffi_quantized_model(tmp_path):
+    path, mi, vw = trained_model(tmp_path)
+    # export quantized inference weights, as --convert_inference_regressor
+    # --weight_quantization does (reference: src/main.rs:136-148)
+    mi2, vw2, model2, params2 = model_file.load_model(path, immutable=True)
+    mi2.dequantize_weights = True
+    qpath = tmp_path / "model_q.fwt"
+    model_file.save_model(qpath, mi2, vw2, model2, params2, quantize_weights=True)
+
+    pred_full = native.EmbeddedPredictor(f"-i {path}")
+    pred_q = native.EmbeddedPredictor(f"-i {qpath}")
+    for line in TEST_LINES:
+        a, b = pred_full.predict(line), pred_q.predict(line)
+        assert abs(a - b) < 5e-3, (line, a, b)
+    pred_full.close()
+    pred_q.close()
+
+
+def test_ffi_error_paths(tmp_path):
+    with pytest.raises(RuntimeError):
+        native.EmbeddedPredictor("-i /nonexistent/model.fwt")
+    path, _mi, _vw = trained_model(tmp_path)
+    pred = native.EmbeddedPredictor(f"-i {path}")
+    # unparseable line → -1.0 error code (reference: src/lib.rs:47-48)
+    assert pred.predict(b"garbage\n") == -1.0
+    pred.close()
