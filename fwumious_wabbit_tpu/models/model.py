@@ -318,8 +318,13 @@ class FwModel:
 
     def lr_outputs(self, lr_wg, batch) -> jnp.ndarray:
         """[B, C]: per-combo sums of w[hash]·value (reference: src/block_lr.rs:28-47).
-        ``lr_wg`` is the gathered weight matrix [B, L]."""
-        contrib = lr_wg * batch["lr_vals"]  # [B, L]
+        ``lr_wg`` is the gathered weight matrix [B, L].
+
+        ``lr_vals`` may be absent: the host elides all-ones value arrays to
+        cut transfer bytes; padding inertness then comes from combo −1
+        (one_hot(−1) is the zero row)."""
+        vals = batch.get("lr_vals")
+        contrib = lr_wg if vals is None else lr_wg * vals  # [B, L]
         onehot = jax.nn.one_hot(batch["lr_combos"], self.num_combos, dtype=contrib.dtype)
         return jnp.einsum("bl,blc->bc", contrib, onehot, precision=self.precision)
 
@@ -342,16 +347,18 @@ class FwModel:
         B, N, _ = emb.shape
         F, k = self.num_fields, self.ffm_k
         e = emb.reshape(B, N, F, k)  # e[b,n,t,:] = w_n→t
-        vals = batch["ffm_vals"]  # [B, N]
+        vals = batch.get("ffm_vals")  # [B, N] or elided when all-ones
         onehot = jax.nn.one_hot(batch["ffm_fields"], F, dtype=e.dtype)  # [B,N,F]
-        weighted = e * vals[:, :, None, None]  # v_a·w_a→t
+        weighted = e if vals is None else e * vals[:, :, None, None]  # v_a·w_a→t
         # C[b,t,f,k] = Σ_{a∈f} v_a·w_a→t
         C = jnp.einsum("bnf,bntk->btfk", onehot, weighted, precision=self.precision)
         inter = 0.5 * jnp.einsum("btfk,bftk->btf", C, C, precision=self.precision)
         # subtract self-interactions on the diagonal:
         # 0.5·Σ_{a∈t} v_a²·‖w_a→t‖² (reference: src/block_ffm.rs:236-244)
         own = jnp.einsum("bntk,bnt->bnk", e, onehot, precision=self.precision)  # w_a→field(a)
-        self_term = 0.5 * jnp.sum(own * own, axis=-1) * vals * vals  # [B,N]
+        self_term = 0.5 * jnp.sum(own * own, axis=-1)  # [B,N]
+        if vals is not None:
+            self_term = self_term * vals * vals
         diag_corr = jnp.einsum("bn,bnf->bf", self_term, onehot, precision=self.precision)  # [B,F]
         return inter - diag_corr[:, :, None] * jnp.eye(F, dtype=inter.dtype)[None]
 

@@ -75,12 +75,21 @@ def _configure(lib):
     lib.fwn_records_len.restype = i64
     lib.fwn_records_len.argtypes = [ctypes.c_void_p]
     lib.fwn_records_copy.argtypes = [ctypes.c_void_p, P(u32)]
+    i8 = ctypes.c_int8
     lib.fwn_fill.argtypes = [
         ctypes.c_void_p, i64, i64, i64, P(f32), P(f32), P(i32), P(f32),
-        P(i32), P(i32), P(f32), P(i32),
+        P(i8), P(i32), P(f32), P(i8),
     ]
+    lib.fwn_fill_range.argtypes = [
+        ctypes.c_void_p, i64, i64, i64, i64, i64, P(f32), P(f32), P(i32),
+        P(f32), P(i8), P(i32), P(f32), P(i8),
+    ]
+    lib.fwn_all_ones.restype = ctypes.c_int
+    lib.fwn_all_ones.argtypes = [ctypes.c_void_p]
     lib.fwn_murmur3.restype = u32
     lib.fwn_murmur3.argtypes = [ctypes.c_char_p, i64, u32]
+    lib.fwn_format_preds.restype = i64
+    lib.fwn_format_preds.argtypes = [P(f32), i64, ctypes.c_char_p]
 
 
 def _configure_ffi(lib):
@@ -151,6 +160,19 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
     if lib is None:
         raise RuntimeError("native library unavailable")
     return int(lib.fwn_murmur3(data, len(data), seed))
+
+
+def format_preds(preds: np.ndarray) -> bytes | None:
+    """'%.6f\\n' lines for a float32 vector; None if no native lib."""
+    lib = load()
+    if lib is None:
+        return None
+    preds = np.ascontiguousarray(preds, np.float32)
+    buf = ctypes.create_string_buffer(16 * preds.size + 1)
+    n = lib.fwn_format_preds(
+        preds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), preds.size, buf
+    )
+    return ctypes.string_at(buf, n)
 
 
 def _iptr(a):
@@ -260,25 +282,40 @@ class NativeIngest:
             )
         return out
 
+    def all_ones_flags(self) -> int:
+        """bit0: all LR values 1.0; bit1: all FFM values 1.0; bit2: all
+        importances 1.0 — arrays the device can reconstruct (ones) instead of
+        transferring."""
+        return int(self._lib.fwn_all_ones(self._ctx))
+
     def widths(self) -> tuple[int, int]:
         return int(self._lib.fwn_lr_max(self._ctx)), int(self._lib.fwn_ffm_max(self._ctx))
 
     def fill(self, n_examples: int, B: int, L: int, N: int):
         """Materialize the dense padded batch dict for the last block."""
+        return self.fill_range(0, n_examples, B, L, N)
+
+    def fill_range(self, start: int, count: int, B: int, L: int, N: int):
+        """Batch dict for examples [start, start+count) of the last block."""
         i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
         f32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))  # noqa: E731
         label = np.zeros(B, np.float32)
         importance = np.zeros(B, np.float32)
         lr_ids = np.zeros((B, L), np.int32)
         lr_vals = np.zeros((B, L), np.float32)
-        lr_combos = np.zeros((B, L), np.int32)
+        # combo/field indices are tiny (< 128) — int8 keeps host→device
+        # transfer bytes down, the device one-hots them anyway. Padding slots
+        # get -1: one_hot(-1) is all-zero, so padding is inert even when the
+        # values array is elided (see fwn_all_ones)
+        lr_combos = np.full((B, L), -1, np.int8)
         ffm_ids = np.zeros((B, N), np.int32)
         ffm_vals = np.zeros((B, N), np.float32)
-        ffm_fields = np.zeros((B, N), np.int32)
-        self._lib.fwn_fill(
-            self._ctx, B, L, N, f32p(label), f32p(importance), i32p(lr_ids),
-            f32p(lr_vals), i32p(lr_combos), i32p(ffm_ids), f32p(ffm_vals),
-            i32p(ffm_fields),
+        ffm_fields = np.full((B, N), -1, np.int8)
+        i8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))  # noqa: E731
+        self._lib.fwn_fill_range(
+            self._ctx, start, count, B, L, N, f32p(label), f32p(importance),
+            i32p(lr_ids), f32p(lr_vals), i8p(lr_combos), i32p(ffm_ids),
+            f32p(ffm_vals), i8p(ffm_fields),
         )
         return {
             "label": label, "importance": importance,

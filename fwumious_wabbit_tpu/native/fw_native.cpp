@@ -21,6 +21,7 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <string>
 #include <thread>
@@ -213,6 +214,35 @@ int64_t fwn_translate_records(void* p, const uint32_t* recs, int64_t words) {
 }
 
 int fwn_lr_max(void* p) { return static_cast<Ctx*>(p)->lr_max; }
+
+// bitmask over the last translated block: bit0 = every LR value is 1.0,
+// bit1 = every FFM value is 1.0, bit2 = every example importance is 1.0.
+// Lets the host skip transferring arrays the device can reconstruct as ones.
+int fwn_all_ones(void* p) {
+  auto* ctx = static_cast<Ctx*>(p);
+  int flags = 7;
+  for (auto& sh : ctx->shards) {
+    if (flags & 1)
+      for (float v : sh.lr_vals)
+        if (v != 1.0f) {
+          flags &= ~1;
+          break;
+        }
+    if (flags & 2)
+      for (float v : sh.ffm_vals)
+        if (v != 1.0f) {
+          flags &= ~2;
+          break;
+        }
+    if (flags & 4)
+      for (float v : sh.importance)
+        if (v != 1.0f) {
+          flags &= ~4;
+          break;
+        }
+  }
+  return flags;
+}
 int fwn_ffm_max(void* p) { return static_cast<Ctx*>(p)->ffm_max; }
 
 // Concatenated packed records of the last block (cache write path).
@@ -231,19 +261,24 @@ void fwn_records_copy(void* p, uint32_t* out) {
   }
 }
 
-// Scatter the translated block into dense padded arrays. B >= n_examples;
-// L >= lr_max; N >= ffm_max. Arrays must be zero-initialized by the caller
-// (padding stays id 0 / value 0).
-void fwn_fill(void* p, int64_t B, int64_t L, int64_t N, float* label,
-              float* importance, int32_t* lr_ids, float* lr_vals,
-              int32_t* lr_combos, int32_t* ffm_ids, float* ffm_vals,
-              int32_t* ffm_fields) {
+// Scatter examples [start, start+count) of the translated block into dense
+// padded arrays (example indices are global across shards, in input order).
+// B >= count; L >= lr widths; N >= ffm widths. Arrays must be
+// zero-initialized by the caller (padding stays id 0 / value 0).
+void fwn_fill_range(void* p, int64_t start, int64_t count, int64_t B,
+                    int64_t L, int64_t N, float* label, float* importance,
+                    int32_t* lr_ids, float* lr_vals, int8_t* lr_combos,
+                    int32_t* ffm_ids, float* ffm_vals, int8_t* ffm_fields) {
   auto* ctx = static_cast<Ctx*>(p);
   (void)B;
-  int64_t row = 0;
+  int64_t row = 0;        // output row
+  int64_t base = 0;       // global index of this shard's first example
+  int64_t end = start + count;
   for (auto& sh : ctx->shards) {
-    size_t m = sh.label.size();
-    for (size_t i = 0; i < m; i++, row++) {
+    int64_t m = int64_t(sh.label.size());
+    int64_t lo = std::max(start - base, int64_t(0));
+    int64_t hi = std::min(end - base, m);
+    for (int64_t i = lo; i < hi; i++, row++) {
       label[row] = sh.label[i];
       importance[row] = sh.importance[i];
       int32_t a = sh.lr_start[i], b = sh.lr_start[i + 1];
@@ -251,7 +286,7 @@ void fwn_fill(void* p, int64_t B, int64_t L, int64_t N, float* label,
         int64_t o = row * L + (j - a);
         lr_ids[o] = int32_t(sh.lr_ids[j]);
         lr_vals[o] = sh.lr_vals[j];
-        lr_combos[o] = sh.lr_combos[j];
+        lr_combos[o] = int8_t(sh.lr_combos[j]);
       }
       if (N > 0) {
         a = sh.ffm_start[i];
@@ -260,16 +295,36 @@ void fwn_fill(void* p, int64_t B, int64_t L, int64_t N, float* label,
           int64_t o = row * N + (j - a);
           ffm_ids[o] = int32_t(sh.ffm_ids[j]);
           ffm_vals[o] = sh.ffm_vals[j];
-          ffm_fields[o] = sh.ffm_fields[j];
+          ffm_fields[o] = int8_t(sh.ffm_fields[j]);
         }
       }
     }
+    base += m;
+    if (base >= end) break;
   }
+}
+
+void fwn_fill(void* p, int64_t B, int64_t L, int64_t N, float* label,
+              float* importance, int32_t* lr_ids, float* lr_vals,
+              int8_t* lr_combos, int32_t* ffm_ids, float* ffm_vals,
+              int8_t* ffm_fields) {
+  auto* ctx = static_cast<Ctx*>(p);
+  fwn_fill_range(p, 0, ctx->n_examples, B, L, N, label, importance, lr_ids,
+                 lr_vals, lr_combos, ffm_ids, ffm_vals, ffm_fields);
 }
 
 // standalone hashing (tests / tooling)
 uint32_t fwn_murmur3(const char* data, int64_t len, uint32_t seed) {
   return murmur3_32(reinterpret_cast<const uint8_t*>(data), size_t(len), seed);
+}
+
+// format predictions as '%.6f\n' lines (the reference's output format,
+// src/main.rs:260-269); out must hold ≥ 16·n bytes; returns bytes written
+int64_t fwn_format_preds(const float* preds, int64_t n, char* out) {
+  char* p = out;
+  for (int64_t i = 0; i < n; i++)
+    p += std::snprintf(p, 16, "%.6f\n", double(preds[i]));
+  return p - out;
 }
 
 }  // extern "C"

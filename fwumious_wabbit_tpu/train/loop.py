@@ -95,12 +95,33 @@ class PredictionWriter:
         self._fh = open(path, "w") if path else None
         self._stdout = to_stdout
 
+    @property
+    def active(self) -> bool:
+        return self._fh is not None or self._stdout
+
     def write(self, p: float) -> None:
         line = f"{p:.6f}\n"
         if self._fh:
             self._fh.write(line)
         if self._stdout:
             sys.stdout.write(line)
+
+    def write_block(self, preds: np.ndarray) -> None:
+        """Vectorized block write (C-side %.6f formatting)."""
+        if not self.active or preds.size == 0:
+            return
+        from .. import native as fw_native
+
+        raw = fw_native.format_preds(preds)
+        block = (
+            raw.decode()
+            if raw is not None
+            else "\n".join(np.char.mod("%.6f", preds)) + "\n"
+        )
+        if self._fh:
+            self._fh.write(block)
+        if self._stdout:
+            sys.stdout.write(block)
 
     def close(self) -> None:
         if self._fh:
@@ -147,13 +168,23 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
     cpath = fwcache.cache_path_for(input_filename)
     emitted = 0
 
+    def strip_ones(bd):
+        """Drop value arrays the device can reconstruct as ones (padding is
+        inert via combo/field −1 one-hots; see NativeIngest.fill_range)."""
+        flags = ni.all_ones_flags()
+        if flags & 1:
+            del bd["lr_vals"]
+        if flags & 2 and mi.ffm_k > 0:
+            del bd["ffm_vals"]
+        return bd
+
     def emit(n):
         nonlocal emitted
         emitted += n
         lmax, nmax = ni.widths()
         L = _bucket_pow2(lmax)
         N = _bucket_pow2(nmax) if mi.ffm_k > 0 else 0
-        return ni.fill(n, batch_size if n <= batch_size else n, L, N), n
+        return strip_ones(ni.fill(n, batch_size if n <= batch_size else n, L, N)), n
 
     def block_cap() -> int:
         if cut_at is None or emitted >= cut_at:
@@ -180,24 +211,57 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
 
     writer = fwcache.RecordCacheWriter(cpath, vw) if use_cache else None
     stream = create_buffered_input(input_filename)
+    CHUNK_BYTES = 8 << 20
     try:
-        pending_lines: list[bytes] = []
+        tail = b""
         at_eof = False
         while not at_eof:
-            line = stream.readline()
-            if not line or not line.strip():
-                # empty line = end of stream, mirroring the reference's
-                # next_vowpal size-0 record (reference: src/main.rs:215-222)
+            raw = stream.read(CHUNK_BYTES)
+            if not raw:
                 at_eof = True
+                raw = tail
+                tail = b""
             else:
-                pending_lines.append(line)
-            if pending_lines and (len(pending_lines) >= block_cap() or at_eof):
-                n = ni.translate_block(b"".join(pending_lines))
-                pending_lines.clear()
-                if n:
-                    if writer is not None:
-                        writer.push_record(ni.records())
-                    yield emit(n)
+                raw = tail + raw
+                # carry the trailing partial line to the next chunk
+                nl = raw.rfind(b"\n")
+                if nl < 0:
+                    tail, raw = raw, b""
+                else:
+                    tail, raw = raw[nl + 1 :], raw[: nl + 1]
+            if not raw:
+                continue
+            # empty line = end of stream, mirroring the reference's size-0
+            # record (src/main.rs:215-222) — shows up as a leading newline
+            # or a "\n\n"/"\n\r\n" sequence (C-speed scans, rare hit)
+            cut = -1
+            if raw[:1] == b"\n" or raw[:2] == b"\r\n":
+                cut = 0
+            else:
+                for pat in (b"\n\n", b"\n\r\n"):
+                    i = raw.find(pat)
+                    if i >= 0:
+                        cut = i + 1 if cut < 0 else min(cut, i + 1)
+            if cut >= 0:
+                raw = raw[:cut]
+                at_eof = True
+                tail = b""
+            if not raw:
+                break
+            n = ni.translate_block(raw)
+            if not n:
+                continue
+            if writer is not None:
+                writer.push_record(ni.records())
+            lmax, nmax = ni.widths()
+            L = _bucket_pow2(lmax)
+            N = _bucket_pow2(nmax) if mi.ffm_k > 0 else 0
+            s = 0
+            while s < n:
+                cap = min(block_cap(), n - s)
+                yield strip_ones(ni.fill_range(s, cap, batch_size, L, N)), cap
+                emitted += cap
+                s += cap
     finally:
         if writer is not None:
             writer.write_finish()
@@ -244,6 +308,19 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     delayed: list = []
     delayed_examples = 0
 
+    # device/host overlap: prediction fetches are deferred a few batches so
+    # the host keeps parsing/translating while the device trains (JAX
+    # dispatch is async; materializing preds is the only sync point)
+    inflight: list = []  # (preds_devicearray, first_num, n)
+    PIPELINE_DEPTH = 3
+
+    def drain(limit: int) -> None:
+        while len(inflight) > limit:
+            preds, first_num, n = inflight.pop(0)
+            preds = np.asarray(preds)[:n]
+            skip = max(0, predictions_after - first_num + 1)
+            writer.write_block(preds[skip:])
+
     def process(params, bd, n):
         """One padded batch: train-or-predict, write predictions.
 
@@ -259,10 +336,9 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 params, preds = train_step(params, bd)
             else:
                 preds = predict_step(params, bd)
-            preds = np.asarray(preds)
         else:
             # predict with the lagging model, then train queued batches
-            preds = np.asarray(predict_step(params, bd))
+            preds = predict_step(params, bd)
             if update:
                 delayed.append((bd, n))
                 delayed_examples += n
@@ -272,9 +348,10 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 if train_step is not None:
                     params, _ = train_step(params, old_bd)
 
-        for i in range(n):
-            if first_num + i > predictions_after:
-                writer.write(float(preds[i]))
+        if hasattr(preds, "copy_to_host_async"):
+            preds.copy_to_host_async()  # overlap D2H with further host work
+        inflight.append((preds, first_num, n))
+        drain(PIPELINE_DEPTH)
         return params
 
     # blocks must end at the train/holdout boundary
@@ -302,10 +379,11 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 params = flush(params)
         params = flush(params)
 
-    # drain the delay queue
+    # drain the delay queue and the prediction pipeline
     if delay > 0 and not testonly and train_step is not None:
         for bd, _n in delayed:
             params, _ = train_step(params, bd)
+    drain(0)
 
     writer.close()
     elapsed = time.time() - t0

@@ -148,7 +148,13 @@ def _tower_backward(model: FwModel, dense, residuals, dlogit):
 
 
 def make_train_step(model: FwModel):
-    """Build the jitted train step: (params, batch) → (params, preds)."""
+    """Build the jitted train step: (params, batch) → (params, preds).
+
+    Memoized per model — rebuilding the closure would retrace and recompile
+    (several seconds per shape)."""
+    cached = getattr(model, "_cached_train_step", None)
+    if cached is not None:
+        return cached
 
     has_ffm = model.has_ffm
     has_nn = model.has_nn
@@ -239,11 +245,19 @@ def make_train_step(model: FwModel):
 
         return new_params, p
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    jitted = jax.jit(train_step, donate_argnums=(0,))
+    model._cached_train_step = jitted
+    return jitted
 
 
 def make_predict_step(model: FwModel):
+    cached = getattr(model, "_cached_predict_step", None)
+    if cached is not None:
+        return cached
+
     def predict_step(params, batch):
         return model.predict(params, batch)
 
-    return jax.jit(predict_step)
+    jitted = jax.jit(predict_step)
+    model._cached_predict_step = jitted
+    return jitted

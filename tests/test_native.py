@@ -73,10 +73,19 @@ def test_block_matches_python(tmp_path):
     np.testing.assert_array_equal(nb["importance"], pb.importance)
     np.testing.assert_array_equal(nb["lr_ids"][:, : pb.lr_ids.shape[1]], pb.lr_ids)
     np.testing.assert_array_equal(nb["lr_vals"][:, : pb.lr_vals.shape[1]], pb.lr_vals)
-    np.testing.assert_array_equal(nb["lr_combos"][:, : pb.lr_combos.shape[1]], pb.lr_combos)
+    # combo/field padding: native uses -1 (one_hot-inert), python uses 0
+    # with value 0 — compare only real slots
+    real = pb.lr_vals != 0
+    np.testing.assert_array_equal(
+        np.where(real, nb["lr_combos"][:, : pb.lr_combos.shape[1]], 0),
+        np.where(real, pb.lr_combos, 0))
+    assert np.all(nb["lr_combos"][:, : pb.lr_combos.shape[1]][~real] == -1)
     np.testing.assert_array_equal(nb["ffm_ids"][:, : pb.ffm_ids.shape[1]], pb.ffm_ids)
     np.testing.assert_array_equal(nb["ffm_vals"][:, : pb.ffm_vals.shape[1]], pb.ffm_vals)
-    np.testing.assert_array_equal(nb["ffm_fields"][:, : pb.ffm_fields.shape[1]], pb.ffm_fields)
+    realf = pb.ffm_vals != 0
+    np.testing.assert_array_equal(
+        np.where(realf, nb["ffm_fields"][:, : pb.ffm_fields.shape[1]], 0),
+        np.where(realf, pb.ffm_fields, 0))
 
 
 def test_records_match_python_parser(tmp_path):

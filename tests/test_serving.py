@@ -1,0 +1,147 @@
+"""TCP daemon tests over real loopback sockets — the analogue of the
+reference's mock-stream serving tests (reference: src/serving.rs:256-468):
+exact wire bytes, parse-error replies, flush, live hogwild_load hot swaps."""
+
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from fwumious_wabbit_tpu.config.cmdline import build_parser
+from fwumious_wabbit_tpu.config.model_instance import ModelInstance
+from fwumious_wabbit_tpu.config.vwmap import VwNamespaceMap
+from fwumious_wabbit_tpu.models.model import FwModel
+from fwumious_wabbit_tpu.persistence import model_file
+from fwumious_wabbit_tpu.serve.server import Serving
+
+VW_CSV = "A,animal\nB,food\n"
+
+
+def build(tmp_path, train_steps=0):
+    (tmp_path / "vw_namespace_map.csv").write_text(VW_CSV)
+    vw = VwNamespaceMap.from_dataset_dir(str(tmp_path / "d.vw"))
+    args = build_parser().parse_args(
+        ["--keep", "A", "--keep", "B", "-b", "18", "--adaptive",
+         "-l", "0.1", "--data", "x"]
+    )
+    mi = ModelInstance.from_cmdline(args, vw)
+    model = FwModel(mi)
+    params = model.init_params()
+    if train_steps:
+        from fwumious_wabbit_tpu.ingest.parser import VowpalParser
+        from fwumious_wabbit_tpu.ingest.translator import Batcher, FeatureTranslator
+        from fwumious_wabbit_tpu.train.loop import _batch_dict
+        from fwumious_wabbit_tpu.train.step import make_train_step
+
+        parser = VowpalParser(vw)
+        ft = FeatureTranslator(mi)
+        step = make_train_step(model)
+        lines = [b"1 |A cat |B milk\n", b"-1 |A dog |B stone\n"]
+        tes = [ft.translate(parser.parse_line(l)) for l in lines]
+        b = Batcher(2).make_batch(tes, pad_to_batch=False)
+        for _ in range(train_steps):
+            params, _ = step(params, _batch_dict(b))
+    mpath = tmp_path / "m.fwt"
+    model_file.save_model(mpath, mi, vw, model, params)
+    return args, mi, vw, model, params, mpath
+
+
+def start_server(args, mi, vw, model, params):
+    srv = Serving(args, mi, vw, model, params)
+    srv.port = 0  # pick an ephemeral port
+    # bind manually to learn the port
+    import socketserver
+
+    from fwumious_wabbit_tpu.serve import server as server_mod
+
+    s = server_mod._ThreadedTCPServer(("127.0.0.1", 0), server_mod._Handler)
+    s.fwt_serving = srv
+    srv._server = s
+    import threading
+
+    t = threading.Thread(target=s.serve_forever, daemon=True)
+    t.start()
+    return srv, s.server_address[1]
+
+
+class Client:
+    def __init__(self, port):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+        self.fh = self.sock.makefile("rwb")
+
+    def send(self, line: bytes) -> bytes:
+        self.fh.write(line)
+        self.fh.flush()
+        return self.fh.readline()
+
+    def close(self):
+        self.sock.close()
+
+
+def test_predict_wire_format(tmp_path):
+    args, mi, vw, model, params, _ = build(tmp_path)
+    srv, port = start_server(args, mi, vw, model, params)
+    try:
+        c = Client(port)
+        out = c.send(b"|A cat |B milk\n")
+        assert out == b"0.500000\n"  # zero weights → exact 0.5, 6 decimals
+        out = c.send(b"1 |A dog |B stone\n")
+        assert out == b"0.500000\n"
+        c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_parse_error_reply_and_drop(tmp_path):
+    args, mi, vw, model, params, _ = build(tmp_path)
+    srv, port = start_server(args, mi, vw, model, params)
+    try:
+        c = Client(port)
+        out = c.send(b"|Z unknown_namespace\n")
+        assert out.startswith(b"ERR: ")
+        # connection is dropped after an error, as in the reference
+        assert c.fh.readline() == b""
+        c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_flush_and_multiple_clients(tmp_path):
+    args, mi, vw, model, params, _ = build(tmp_path)
+    srv, port = start_server(args, mi, vw, model, params)
+    try:
+        clients = [Client(port) for _ in range(4)]
+        for c in clients:
+            assert c.send(b"|A cat |B milk\n") == b"0.500000\n"
+        # flush produces no reply but keeps the connection alive
+        clients[0].fh.write(b"flush\n")
+        clients[0].fh.flush()
+        assert clients[0].send(b"|A cat\n") == b"0.500000\n"
+        for c in clients:
+            c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_hogwild_load_hot_swap(tmp_path):
+    # train a model, save it, serve the UNtrained one, hot-swap to trained
+    args, mi, vw, model, params0, _ = build(tmp_path)
+    _, _, _, _, _params1, trained_path = build(tmp_path, train_steps=5)
+    srv, port = start_server(args, mi, vw, model, params0)
+    try:
+        c = Client(port)
+        before = float(c.send(b"|A cat |B milk\n"))
+        assert before == 0.5
+        out = c.send(f"hogwild_load {trained_path}\n".encode())
+        assert out == b"hogwild_load success\n"
+        after = float(c.send(b"|A cat |B milk\n"))
+        assert after != 0.5  # trained weights now serve
+        c.close()
+
+        c2 = Client(port)
+        out = c2.send(b"hogwild_load /nonexistent/model.fwt\n")
+        assert out == b"ERR: hogwild_load fail\n"
+        c2.close()
+    finally:
+        srv.shutdown()
