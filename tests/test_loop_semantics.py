@@ -1,0 +1,87 @@
+"""Driver-loop semantics: the native block stream must reproduce the Python
+per-example path exactly — holdout boundaries, predictions_after filtering,
+prediction_model_delay, testonly, cache reuse (reference: src/main.rs:200-270)."""
+
+import numpy as np
+import pytest
+
+from fwumious_wabbit_tpu.config.cmdline import build_parser
+from fwumious_wabbit_tpu.config.model_instance import ModelInstance
+from fwumious_wabbit_tpu.config.vwmap import VwNamespaceMap
+from fwumious_wabbit_tpu.models.model import FwModel
+from fwumious_wabbit_tpu.train.loop import run_train_loop
+from fwumious_wabbit_tpu import native
+
+VW_CSV = "A,animal\nB,food\n"
+
+
+def write_dataset(tmp_path, rows=300, seed=0):
+    rng = np.random.default_rng(seed)
+    (tmp_path / "vw_namespace_map.csv").write_text(VW_CSV)
+    data = tmp_path / "data.vw"
+    with open(data, "w") as f:
+        for _ in range(rows):
+            a = rng.integers(0, 20)
+            b = rng.integers(0, 20)
+            label = 1 if (a + b) % 2 == 0 else -1
+            f.write(f"{label} |A a{a} |B b{b}\n")
+    return data
+
+
+def run(tmp_path, data, extra, predictions_name):
+    argv = ["--keep", "A", "--keep", "B", "--interactions", "AB", "-b", "20",
+            "--adaptive", "-l", "0.1", "--power_t", "0.0",
+            "--data", str(data), "-p", str(tmp_path / predictions_name),
+            "--fwt_batch_size", "64", *extra]
+    args = build_parser().parse_args(argv)
+    vw = VwNamespaceMap.from_dataset_dir(str(data))
+    mi = ModelInstance.from_cmdline(args, vw)
+    model = FwModel(mi)
+    run_train_loop(args, mi, vw, model)
+    return (tmp_path / predictions_name).read_text()
+
+
+@pytest.mark.skipif(native.load() is None, reason="no native toolchain")
+@pytest.mark.parametrize(
+    "extra",
+    [
+        [],
+        ["--holdout_after", "150"],
+        ["--holdout_after", "97"],
+        ["--predictions_after", "55"],
+        ["--testonly"],
+        ["--prediction_model_delay", "100"],
+        ["--holdout_after", "150", "--predictions_after", "10"],
+    ],
+    ids=["plain", "holdout", "holdout-mid-batch", "pred-after", "testonly",
+         "delay", "holdout+pred-after"],
+)
+def test_native_stream_matches_python_path(tmp_path, extra):
+    data = write_dataset(tmp_path)
+    p_native = run(tmp_path, data, extra, "native.out")
+    p_python = run(tmp_path, data, extra + ["--fwt_no_native"], "python.out")
+    assert p_native == p_python
+    assert len(p_native.splitlines()) > 0 or "--predictions_after" not in extra
+
+
+@pytest.mark.skipif(native.load() is None, reason="no native toolchain")
+def test_native_cache_roundtrip_matches(tmp_path):
+    data = write_dataset(tmp_path)
+    p1 = run(tmp_path, data, ["-c"], "first.out")
+    assert (tmp_path / "data.vw.fwcache").exists()
+    p2 = run(tmp_path, data, ["-c"], "second.out")  # reads the cache
+    assert p1 == p2
+
+
+@pytest.mark.skipif(native.load() is None, reason="no native toolchain")
+def test_empty_line_terminates_stream(tmp_path):
+    data = write_dataset(tmp_path, rows=50)
+    text = data.read_text()
+    with open(data, "w") as f:
+        f.write("".join(text.splitlines(keepends=True)[:30]))
+        f.write("\n")  # empty line = EOF
+        f.write("".join(text.splitlines(keepends=True)[30:]))
+    out = run(tmp_path, data, [], "cut.out")
+    assert len(out.splitlines()) == 30
+    out_py = run(tmp_path, data, ["--fwt_no_native"], "cut_py.out")
+    assert out == out_py
