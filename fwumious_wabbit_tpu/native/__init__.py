@@ -84,6 +84,7 @@ def _configure(lib):
         ctypes.c_void_p, i64, i64, i64, i64, i64, P(f32), P(f32), P(i32),
         P(f32), P(i8), P(i32), P(f32), P(i8),
     ]
+    lib.fwn_set_build_records.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.fwn_all_ones.restype = ctypes.c_int
     lib.fwn_all_ones.argtypes = [ctypes.c_void_p]
     lib.fwn_murmur3.restype = u32
@@ -281,6 +282,10 @@ class NativeIngest:
                 self._ctx, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
             )
         return out
+
+    def set_build_records(self, on: bool) -> None:
+        """Disable packed-record accumulation when no cache is written."""
+        self._lib.fwn_set_build_records(self._ctx, 1 if on else 0)
 
     def all_ones_flags(self) -> int:
         """bit0: all LR values 1.0; bit1: all FFM values 1.0; bit2: all

@@ -108,12 +108,31 @@ struct ComboDesc {
 struct Config {
   int num_namespaces = 0;
   std::unordered_map<std::string, NamespaceInfo> lookup;
+  // direct table for single-byte namespace names (the overwhelmingly common
+  // case — the reference uses a radix tree for the same reason,
+  // reference: src/radix_tree.rs:33-64); index = byte value, .index < 0 =
+  // not a 1-char name
+  NamespaceInfo char1[256] = {};
+  void finalize_lookup() {
+    for (auto& e : char1) e.index = -1;
+    for (const auto& [name, info] : lookup)
+      if (name.size() == 1) char1[uint8_t(name[0])] = info;
+  }
+  const NamespaceInfo* find(const uint8_t* name, size_t len) const {
+    if (len == 1) {
+      const NamespaceInfo& e = char1[name[0]];
+      return e.index >= 0 ? &e : nullptr;
+    }
+    auto it = lookup.find(std::string(reinterpret_cast<const char*>(name), len));
+    return it == lookup.end() ? nullptr : &it->second;
+  }
   int skip_prefix = 0;
   std::vector<ComboDesc> combos;
   bool add_constant = true;
   uint32_t lr_mask = 0, ffm_mask = 0;
   std::vector<std::vector<int>> ffm_fields;
   int num_threads = 1;
+  bool build_records = true;  // false: skip accumulating packed records (no cache)
 };
 
 // Per-example translated features, SoA within one shard.
@@ -237,8 +256,6 @@ inline LineKind parse_line(const Config& cfg, const uint8_t* line, size_t n,
     if (start >= n) break;
 
     if (line[start] == '|') {
-      std::string name(reinterpret_cast<const char*>(line + start + 1),
-                       end_first - start - 1);
       if (end_first != end) {
         if (!parse_float_tok(line + end_first + 1, end - end_first - 1,
                              &cur_ns_weight)) {
@@ -249,15 +266,18 @@ inline LineKind parse_line(const Config& cfg, const uint8_t* line, size_t n,
       } else {
         cur_ns_weight = 1.0f;
       }
-      auto it = cfg.lookup.find(name);
-      if (it == cfg.lookup.end()) {
+      const NamespaceInfo* info =
+          cfg.find(line + start + 1, end_first - start - 1);
+      if (!info) {
         rec.resize(base);
-        err = "Feature name was not predeclared in vw_namespace_map.csv: " + name;
+        err = "Feature name was not predeclared in vw_namespace_map.csv: " +
+              std::string(reinterpret_cast<const char*>(line + start + 1),
+                          end_first - start - 1);
         return LineKind::Error;
       }
-      cur_seed = it->second.seed;
-      cur_slot = base + HEADER_LEN + it->second.index;
-      cur_format = it->second.format;
+      cur_seed = info->seed;
+      cur_slot = base + HEADER_LEN + info->index;
+      cur_format = info->format;
       cur_num_features = 0;
       ns_tail_start = rec.size() - base;
     } else {

@@ -385,6 +385,7 @@ Loaded load_model(const std::string& path) {
     model->ffm_align = slab <= 128 ? next_pow2(slab) : ((slab + 127) / 128) * 128;
   }
   cfg.num_threads = 1;
+  cfg.finalize_lookup();
 
   std::string optimizer = mi.str_or("optimizer", "AdagradFlex");
   bool has_state = optimizer != "SGD";

@@ -81,6 +81,7 @@ void* fwn_create(int num_namespaces, const char* ns_names,
     c.ffm_fields.push_back(std::move(f));
   }
   c.num_threads = num_threads > 0 ? num_threads : 1;
+  c.finalize_lookup();
   ctx->shards.resize(c.num_threads);
   return ctx;
 }
@@ -131,15 +132,17 @@ int64_t fwn_translate_block(void* p, const char* buf, int64_t len) {
     sh.clear();
     auto [rs, re] = ranges[t];
     int64_t i = rs;
-    std::vector<uint32_t> rec;
+    std::vector<uint32_t> scratch;  // reused per line when records not kept
     while (i < re && !failed.load(std::memory_order_relaxed)) {
       int64_t j = i;
       while (j < re && data[j] != '\n') j++;
-      size_t rec_base = sh.records.size();
+      std::vector<uint32_t>& rec = cfg.build_records ? sh.records : scratch;
+      if (!cfg.build_records) rec.clear();
+      size_t rec_base = rec.size();
       std::string err;
-      LineKind kind = parse_line(cfg, data + i, size_t(j - i), sh.records, err);
+      LineKind kind = parse_line(cfg, data + i, size_t(j - i), rec, err);
       if (kind == LineKind::Example) {
-        translate_record(cfg, sh.records.data() + rec_base, formats, sh);
+        translate_record(cfg, rec.data() + rec_base, formats, sh);
       } else if (kind == LineKind::Error) {
         sh.error = err;
         failed.store(true, std::memory_order_relaxed);
@@ -214,6 +217,11 @@ int64_t fwn_translate_records(void* p, const uint32_t* recs, int64_t words) {
 }
 
 int fwn_lr_max(void* p) { return static_cast<Ctx*>(p)->lr_max; }
+
+// toggle packed-record accumulation (only needed when writing a cache)
+void fwn_set_build_records(void* p, int on) {
+  static_cast<Ctx*>(p)->cfg.build_records = on != 0;
+}
 
 // bitmask over the last translated block: bit0 = every LR value is 1.0,
 // bit1 = every FFM value is 1.0, bit2 = every example importance is 1.0.

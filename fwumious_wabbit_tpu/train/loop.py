@@ -210,6 +210,8 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
             log.warning("cache rejected (%s); reparsing", e)
 
     writer = fwcache.RecordCacheWriter(cpath, vw) if use_cache else None
+    if writer is None:
+        ni.set_build_records(False)
     stream = create_buffered_input(input_filename)
     CHUNK_BYTES = 8 << 20
     try:
