@@ -58,7 +58,9 @@ def _configure(lib):
     lib.fwn_create.argtypes = [
         ctypes.c_int, ctypes.c_char_p, P(ctypes.c_int), P(ctypes.c_int),
         P(ctypes.c_int), ctypes.c_int, ctypes.c_int, P(ctypes.c_int),
-        P(ctypes.c_int), P(f32), ctypes.c_int, u32, u32, ctypes.c_int,
+        P(ctypes.c_int), P(ctypes.c_int), P(f32), ctypes.c_int, u32, u32,
+        ctypes.c_int, P(ctypes.c_int), P(ctypes.c_int), P(ctypes.c_int),
+        ctypes.c_int, P(ctypes.c_int), P(f32), P(f32), P(ctypes.c_int),
         P(ctypes.c_int), P(ctypes.c_int), ctypes.c_int,
     ]
     lib.fwn_destroy.argtypes = [ctypes.c_void_p]
@@ -193,16 +195,6 @@ class NativeIngest:
         lib = load()
         if lib is None:
             raise RuntimeError("native library unavailable")
-        if mi.transform_namespaces:
-            raise RuntimeError("--transform configs use the Python pipeline")
-        for combo in mi.feature_combo_descs:
-            for d in combo.namespace_descriptors:
-                if d.namespace_type == NamespaceType.TRANSFORMED:
-                    raise RuntimeError("--transform configs use the Python pipeline")
-        for f in mi.ffm_fields:
-            for d in f:
-                if d.namespace_type == NamespaceType.TRANSFORMED:
-                    raise RuntimeError("--transform configs use the Python pipeline")
         self._lib = lib
         if num_threads is None:
             num_threads = max(1, min(8, (os.cpu_count() or 2) - 1))
@@ -215,16 +207,36 @@ class NativeIngest:
             ns_formats.append(1 if desc.namespace_format == NamespaceFormat.F32 else 0)
         name_lens = np.asarray([len(name_lens)] + name_lens, np.int32)
 
-        combo_offsets, combo_ns, combo_weights = [0], [], []
+        is_t = lambda d: 1 if d.namespace_type == NamespaceType.TRANSFORMED else 0  # noqa: E731
+        combo_offsets, combo_ns, combo_ns_types, combo_weights = [0], [], [], []
         for combo in mi.feature_combo_descs:
             combo_ns.extend(d.namespace_index for d in combo.namespace_descriptors)
+            combo_ns_types.extend(is_t(d) for d in combo.namespace_descriptors)
             combo_offsets.append(len(combo_ns))
             combo_weights.append(getattr(combo, "weight", 1.0))
 
-        field_offsets, field_ns = [0], []
+        field_offsets, field_ns, field_ns_types = [0], [], []
         for f in mi.ffm_fields:
             field_ns.extend(d.namespace_index for d in f)
+            field_ns_types.extend(is_t(d) for d in f)
             field_offsets.append(len(field_ns))
+
+        # --transform statements in resolved dependency order
+        _KINDS = {"BinnerSqrt": 0, "BinnerSqrtPlain": 1, "BinnerLog": 2,
+                  "BinnerLogPlain": 3, "BinnerLogRatio": 4,
+                  "BinnerLogRatioPlain": 5, "Weight": 6, "Combine": 7}
+        t_kinds, t_p0, t_p1 = [], [], []
+        t_from_offsets, t_from, t_from_types = [0], [], []
+        if mi.transform_namespaces is not None:
+            for t in mi.transform_namespaces.v:
+                t_kinds.append(_KINDS[t.function_name])
+                params = t.function_parameters
+                t_p0.append(params[0] if len(params) >= 1 else 0.0)
+                t_p1.append(params[1] if len(params) >= 2 else 1.0)
+                for _name, d in t.from_namespaces:
+                    t_from.append(d.namespace_index)
+                    t_from_types.append(is_t(d))
+                t_from_offsets.append(len(t_from))
 
         self._ctx = lib.fwn_create(
             vw.num_namespaces,
@@ -236,6 +248,7 @@ class NativeIngest:
             len(mi.feature_combo_descs),
             _iptr(np.asarray(combo_offsets, np.int32)),
             _iptr(np.asarray(combo_ns, np.int32)),
+            _iptr(np.asarray(combo_ns_types, np.int32)),
             np.asarray(combo_weights, np.float32).ctypes.data_as(
                 ctypes.POINTER(ctypes.c_float)
             ),
@@ -245,6 +258,16 @@ class NativeIngest:
             len(mi.ffm_fields) if mi.ffm_k > 0 else 0,
             _iptr(np.asarray(field_offsets, np.int32)),
             _iptr(np.asarray(field_ns, np.int32)),
+            _iptr(np.asarray(field_ns_types, np.int32)),
+            len(t_kinds),
+            _iptr(np.asarray(t_kinds, np.int32)),
+            np.asarray(t_p0, np.float32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)),
+            np.asarray(t_p1, np.float32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)),
+            _iptr(np.asarray(t_from_offsets, np.int32)),
+            _iptr(np.asarray(t_from, np.int32)),
+            _iptr(np.asarray(t_from_types, np.int32)),
             num_threads,
         )
         if not self._ctx:

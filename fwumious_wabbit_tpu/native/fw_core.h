@@ -13,6 +13,7 @@
 #include <cstring>
 #include <string>
 #include <thread>
+#include <limits>
 #include <unordered_map>
 #include <utility>
 #include <vector>
@@ -101,8 +102,35 @@ struct NamespaceInfo {
 };
 
 struct ComboDesc {
-  std::vector<int> ns;  // namespace indices (slots)
+  std::vector<int> ns;       // namespace indices (slot or transform index)
+  std::vector<int> ns_type;  // 0 primitive, 1 transformed
   float weight;
+};
+
+// One --transform statement, resolved (reference:
+// src/feature_transform_implementations.rs, ingest/transforms.py).
+struct TransformDef {
+  enum Kind {
+    BinnerSqrt,        // interpolated
+    BinnerSqrtPlain,
+    BinnerLog,
+    BinnerLogPlain,
+    BinnerLogRatio,
+    BinnerLogRatioPlain,
+    Weight,
+    Combine,
+  };
+  int kind = 0;
+  std::vector<int> from;       // namespace indices
+  std::vector<int> from_type;  // 0 primitive, 1 transformed
+  float p0 = 0.0f;             // greater_than / multiplier
+  float p1 = 1.0f;             // resolution
+  uint32_t seeds[5] = {};      // per-target 5-seed set
+};
+
+struct FfmFieldDesc {
+  std::vector<int> ns;
+  std::vector<int> ns_type;
 };
 
 struct Config {
@@ -130,7 +158,8 @@ struct Config {
   std::vector<ComboDesc> combos;
   bool add_constant = true;
   uint32_t lr_mask = 0, ffm_mask = 0;
-  std::vector<std::vector<int>> ffm_fields;
+  std::vector<FfmFieldDesc> ffm_fields;
+  std::vector<TransformDef> transforms;
   int num_threads = 1;
   bool build_records = true;  // false: skip accumulating packed records (no cache)
 };
@@ -339,10 +368,11 @@ inline LineKind parse_line(const Config& cfg, const uint8_t* line, size_t n,
 // (port of ingest/translator.py / reference src/feature_buffer.rs:137-338)
 // ---------------------------------------------------------------------------
 
-// read (hash, value) pairs of one namespace from a record
-inline void read_ns(const uint32_t* rec, int slot, int format,
-                    std::vector<std::pair<uint32_t, float>>& out) {
-  out.clear();
+using Feats = std::vector<std::pair<uint32_t, float>>;
+
+// append (hash, value) pairs of one primitive namespace from a record
+inline void read_primitive(const uint32_t* rec, int slot, int format,
+                           Feats& out) {
   uint32_t tok = rec[HEADER_LEN + slot];
   if ((tok & IS_NOT_SINGLE_MASK) == 0) {
     out.emplace_back(tok, 1.0f);
@@ -357,8 +387,181 @@ inline void read_ns(const uint32_t* rec, int slot, int format,
   }
 }
 
+// ---------------------------------------------------------------------------
+// feature transforms (reference: src/feature_transform_executor.rs:49-94,
+// src/feature_transform_implementations.rs; semantics oracle:
+// ingest/transforms.py — the emission order and float-width choices below
+// mirror it operation for operation)
+// ---------------------------------------------------------------------------
+
+inline void emit_i32(uint32_t seed, uint32_t to_data, double value, Feats& out) {
+  uint8_t b[4] = {uint8_t(to_data), uint8_t(to_data >> 8),
+                  uint8_t(to_data >> 16), uint8_t(to_data >> 24)};
+  out.emplace_back(murmur3_32(b, 4, seed) & MASK31, float(value));
+}
+
+inline void emit_i32_i32(uint32_t seed, uint32_t d1, uint32_t d2, double value,
+                         Feats& out) {
+  uint8_t b[4] = {uint8_t(d1), uint8_t(d1 >> 8), uint8_t(d1 >> 16),
+                  uint8_t(d1 >> 24)};
+  uint32_t h1 = murmur3_32(b, 4, seed);
+  uint8_t c[4] = {uint8_t(d2), uint8_t(d2 >> 8), uint8_t(d2 >> 16),
+                  uint8_t(d2 >> 24)};
+  out.emplace_back(murmur3_32(c, 4, h1) & MASK31, float(value));
+}
+
+// f32-truncate-toward-zero as u32 two's complement (int(np.float32(f)))
+inline uint32_t trunc_f32_u32(double f) {
+  return uint32_t(int64_t(float(f)));
+}
+
+inline void emit_f32(uint32_t seed, double f, double value, bool interpolated,
+                     Feats& out) {
+  if (!std::isfinite(f)) {
+    emit_i32(seed, f32_bits(float(f)), value, out);
+  } else if (interpolated) {
+    double fl = std::floor(f);
+    double part = f - fl;
+    if (part != 0.0) emit_i32(seed, uint32_t(int64_t(fl) + 1), value * part, out);
+    part = 1.0 - part;
+    if (part != 0.0) emit_i32(seed, uint32_t(int64_t(fl)), value * part, out);
+  } else {
+    emit_i32(seed, trunc_f32_u32(f), value, out);
+  }
+}
+
+inline double safe_ln(double x) {
+  if (x > 0.0) return std::log(x);
+  if (x == 0.0) return -std::numeric_limits<double>::infinity();
+  return std::nan("");
+}
+
+// float values of an f32 namespace (feature_reader_float_namespace!,
+// reference: src/feature_buffer.rs:110-135) — hash_value is always 1.0
+inline void read_float_ns(const uint32_t* rec, int slot,
+                          std::vector<float>& out) {
+  out.clear();
+  uint32_t tok = rec[HEADER_LEN + slot];
+  if ((tok & IS_NOT_SINGLE_MASK) == 0 || tok == NO_FEATURES) return;
+  uint32_t start = (tok >> 16) & 0x3fff;
+  uint32_t end = tok & 0xffff;
+  for (uint32_t off = start; off < end; off += 2)
+    out.push_back(bits_f32(rec[off + 1]));
+}
+
+inline void read_features(const Config& cfg, const uint32_t* rec,
+                          const std::vector<int>& formats, int idx, int type,
+                          Feats& out);
+
+// 5 precomputed murmur3 seeds per transformed namespace
+// (reference: src/feature_transform_executor.rs:17-27)
+inline void fill_transform_seeds(TransformDef& t, int to_namespace_index) {
+  uint32_t seed = uint32_t(to_namespace_index) ^ 0x80000000u;
+  const uint8_t quads[5][4] = {{214, 231, 1, 55},
+                               {255, 6, 14, 69},
+                               {50, 6, 71, 123},
+                               {10, 3, 0, 43},
+                               {0, 53, 10, 201}};
+  for (int i = 0; i < 5; i++) t.seeds[i] = murmur3_32(quads[i], 4, seed);
+}
+
+inline void run_transform(const Config& cfg, const uint32_t* rec,
+                          const std::vector<int>& formats, int tidx,
+                          Feats& out) {
+  const TransformDef& t = cfg.transforms[tidx];
+  switch (t.kind) {
+    case TransformDef::BinnerSqrt:
+    case TransformDef::BinnerSqrtPlain:
+    case TransformDef::BinnerLog:
+    case TransformDef::BinnerLogPlain: {
+      bool is_sqrt = t.kind == TransformDef::BinnerSqrt ||
+                     t.kind == TransformDef::BinnerSqrtPlain;
+      bool interp = t.kind == TransformDef::BinnerSqrt ||
+                    t.kind == TransformDef::BinnerLog;
+      std::vector<float> vals;
+      read_float_ns(rec, t.from[0], vals);
+      for (float v : vals) {
+        if (v < t.p0) {
+          emit_i32(t.seeds[0], trunc_f32_u32(v), 1.0, out);
+        } else {
+          double x = double(v) - double(t.p0);
+          // python's math.log raises at 0 → NaN (C log would give -inf)
+          double fx = is_sqrt ? std::sqrt(x)
+                              : (x == 0.0 ? std::nan("") : std::log(x));
+          float tr = float(fx) * t.p1;
+          emit_f32(t.seeds[1], double(tr), 1.0, interp, out);
+        }
+      }
+      break;
+    }
+    case TransformDef::BinnerLogRatio:
+    case TransformDef::BinnerLogRatioPlain: {
+      bool interp = t.kind == TransformDef::BinnerLogRatio;
+      std::vector<float> v1s, v2s;
+      read_float_ns(rec, t.from[0], v1s);
+      read_float_ns(rec, t.from[1], v2s);
+      for (float v1 : v1s)
+        for (float v2 : v2s) {
+          if (double(v2) + double(v1) < double(t.p0)) {
+            emit_i32_i32(t.seeds[1], trunc_f32_u32(v1), trunc_f32_u32(v2),
+                         1.0, out);
+          } else if (v1 == 0.0f) {
+            emit_f32(t.seeds[2], safe_ln(double(v2) - double(t.p0)), 1.0,
+                     interp, out);
+          } else if (v2 == 0.0f) {
+            emit_f32(t.seeds[3], safe_ln(double(v1) - double(t.p0)), 1.0,
+                     interp, out);
+          } else {
+            double o = safe_ln(double(v1) / double(v2)) * double(t.p1);
+            emit_f32(t.seeds[0], o, 1.0, interp, out);
+          }
+        }
+      break;
+    }
+    case TransformDef::Weight: {
+      Feats local;  // plain local: the source may itself be transformed
+      read_features(cfg, rec, formats, t.from[0], t.from_type[0], local);
+      for (const auto& [h, v] : local)
+        emit_i32(t.seeds[0], h, double(v) * double(t.p0), out);
+      break;
+    }
+    case TransformDef::Combine: {
+      // cartesian XOR-combine of 2..4 namespaces
+      std::vector<Feats> parts(t.from.size());
+      for (size_t i = 0; i < t.from.size(); i++)
+        read_features(cfg, rec, formats, t.from[i], t.from_type[i], parts[i]);
+      // recursive cartesian, depth ≤ 4
+      struct Rec {
+        const std::vector<Feats>& parts;
+        uint32_t seed;
+        Feats& out;
+        void go(size_t i, uint32_t acc_h, double acc_v) {
+          if (i == parts.size()) {
+            emit_i32(seed, acc_h, acc_v, out);
+            return;
+          }
+          for (const auto& [h, v] : parts[i]) go(i + 1, acc_h ^ h, acc_v * v);
+        }
+      } r{parts, t.seeds[0], out};
+      r.go(0, 0, 1.0);
+      break;
+    }
+  }
+}
+
+inline void read_features(const Config& cfg, const uint32_t* rec,
+                          const std::vector<int>& formats, int idx, int type,
+                          Feats& out) {
+  if (type == 1) {
+    run_transform(cfg, rec, formats, idx, out);
+    return;
+  }
+  read_primitive(rec, idx, formats[idx], out);
+}
+
 inline void translate_record(const Config& cfg, const uint32_t* rec,
-                      const std::vector<int>& formats, Shard& sh) {
+                      const std::vector<int>& formats, Shard& sh,
+                      bool ffm_primitive_only = false) {
   // NO_LABEL stays 255.0, mirroring the Python translator (unlabeled lines
   // only occur on predict paths where the label is unused)
   sh.label.push_back(float(rec[1]));
@@ -366,14 +569,15 @@ inline void translate_record(const Config& cfg, const uint32_t* rec,
   sh.lr_start.push_back(int32_t(sh.lr_ids.size()));
   sh.ffm_start.push_back(int32_t(sh.ffm_ids.size()));
 
-  thread_local std::vector<std::pair<uint32_t, float>> feats;
-  thread_local std::vector<std::pair<uint32_t, float>> cur, nxt;
+  thread_local Feats feats, cur, nxt;
 
   int combo_index = 0;
   for (const auto& combo : cfg.combos) {
-    read_ns(rec, combo.ns[0], formats[combo.ns[0]], cur);
+    cur.clear();
+    read_features(cfg, rec, formats, combo.ns[0], combo.ns_type[0], cur);
     for (size_t d = 1; d < combo.ns.size(); d++) {
-      read_ns(rec, combo.ns[d], formats[combo.ns[d]], feats);
+      feats.clear();
+      read_features(cfg, rec, formats, combo.ns[d], combo.ns_type[d], feats);
       nxt.clear();
       for (const auto& [h_acc, v_acc] : cur) {
         uint32_t half = h_acc * VOWPAL_FNV_PRIME;
@@ -397,8 +601,10 @@ inline void translate_record(const Config& cfg, const uint32_t* rec,
   if (!cfg.ffm_fields.empty()) {
     int field_index = 0;
     for (const auto& field : cfg.ffm_fields) {
-      for (int slot : field) {
-        read_ns(rec, slot, formats[slot], feats);
+      for (size_t d = 0; d < field.ns.size(); d++) {
+        if (ffm_primitive_only && field.ns_type[d] != 0) continue;
+        feats.clear();
+        read_features(cfg, rec, formats, field.ns[d], field.ns_type[d], feats);
         for (const auto& [h, v] : feats) {
           sh.ffm_ids.push_back(h & cfg.ffm_mask);
           sh.ffm_vals.push_back(v);

@@ -347,13 +347,12 @@ Loaded load_model(const std::string& path) {
     model->formats[info.index] = info.format;
 
   // model instance (model_instance.to_json layout)
-  const Json* tn = mi.get("transform_namespaces");
-  if (tn && tn->get("v") && !tn->get("v")->arr.empty())
-    return fail("transform namespaces are not supported by the embedded engine yet");
-
   int bit_precision = int(mi.num_or("bit_precision", 18));
   cfg.lr_mask = (1u << bit_precision) - 1;
   cfg.add_constant = mi.bool_or("add_constant_feature", true);
+  auto ns_type_of = [](const Json& nd) {
+    return nd.str_or("namespace_type", "Primitive") == "Transformed" ? 1 : 0;
+  };
   const Json* combos = mi.get("feature_combo_descs");
   if (combos)
     for (const Json& c : combos->arr) {
@@ -361,10 +360,51 @@ Loaded load_model(const std::string& path) {
       d.weight = float(c.num_or("weight", 1.0));
       const Json* nds = c.get("namespace_descriptors");
       if (nds)
-        for (const Json& nd : nds->arr)
+        for (const Json& nd : nds->arr) {
           d.ns.push_back(int(nd.num_or("namespace_index", 0)));
+          d.ns_type.push_back(ns_type_of(nd));
+        }
       cfg.combos.push_back(std::move(d));
     }
+
+  // transform namespaces (--transform statements, resolved order)
+  const Json* tn = mi.get("transform_namespaces");
+  if (tn && tn->get("v")) {
+    int index = 0;
+    for (const Json& tj : tn->get("v")->arr) {
+      TransformDef t;
+      std::string fn = tj.str_or("function_name", "");
+      if (fn == "BinnerSqrt") t.kind = TransformDef::BinnerSqrt;
+      else if (fn == "BinnerSqrtPlain") t.kind = TransformDef::BinnerSqrtPlain;
+      else if (fn == "BinnerLog") t.kind = TransformDef::BinnerLog;
+      else if (fn == "BinnerLogPlain") t.kind = TransformDef::BinnerLogPlain;
+      else if (fn == "BinnerLogRatio") t.kind = TransformDef::BinnerLogRatio;
+      else if (fn == "BinnerLogRatioPlain") t.kind = TransformDef::BinnerLogRatioPlain;
+      else if (fn == "Weight") t.kind = TransformDef::Weight;
+      else if (fn == "Combine") t.kind = TransformDef::Combine;
+      else return fail("unknown transform function: " + fn);
+      const Json* params = tj.get("function_parameters");
+      bool is_binner = t.kind <= TransformDef::BinnerLogRatioPlain;
+      if (params && !params->arr.empty()) {
+        t.p0 = float(params->arr[0].num);
+        if (params->arr.size() > 1) t.p1 = float(params->arr[1].num);
+      } else if (is_binner) {
+        t.p0 = 0.0f;
+        t.p1 = 1.0f;
+      }
+      const Json* froms = tj.get("from_namespaces");
+      if (froms)
+        for (const Json& fj : froms->arr) {
+          const Json* nd = fj.get("namespace_descriptor");
+          if (nd) {
+            t.from.push_back(int(nd->num_or("namespace_index", 0)));
+            t.from_type.push_back(ns_type_of(*nd));
+          }
+        }
+      fill_transform_seeds(t, index++);
+      cfg.transforms.push_back(std::move(t));
+    }
+  }
   model->num_combos = int(cfg.combos.size()) + (cfg.add_constant ? 1 : 0);
 
   model->ffm_k = int(mi.num_or("ffm_k", 0));
@@ -375,10 +415,13 @@ Loaded load_model(const std::string& path) {
     while (model->ffm_k > (1 << dim_bits)) dim_bits++;
     cfg.ffm_mask = ((1u << ffm_bits) - 1) ^ ((1u << dim_bits) - 1);
     for (const Json& fj : fields->arr) {
-      std::vector<int> fns;
-      for (const Json& nd : fj.arr)
-        fns.push_back(int(nd.num_or("namespace_index", 0)));
-      cfg.ffm_fields.push_back(std::move(fns));
+      FfmFieldDesc f;
+      for (const Json& nd : fj.arr) {
+        f.ns.push_back(int(nd.num_or("namespace_index", 0)));
+        f.ns_type.push_back(
+            nd.str_or("namespace_type", "Primitive") == "Transformed" ? 1 : 0);
+      }
+      cfg.ffm_fields.push_back(std::move(f));
     }
     model->num_fields = int(cfg.ffm_fields.size());
     int slab = model->num_fields * model->ffm_k;
@@ -519,7 +562,6 @@ struct Predictor {
 
   // translate one line into sh (single example); returns false on error
   bool translate_line(const std::string& line, bool primitive_only_ffm) {
-    (void)primitive_only_ffm;  // transforms unsupported → all features primitive
     sh.clear();
     std::vector<uint32_t> rec;
     std::string err;
@@ -527,7 +569,10 @@ struct Predictor {
         model->cfg, reinterpret_cast<const uint8_t*>(line.data()), line.size(),
         rec, err);
     if (kind != LineKind::Example) return false;
-    translate_record(model->cfg, rec.data(), model->formats, sh);
+    // the cache path keeps only primitive FFM features, mirroring
+    // translate_and_filter (reference: src/feature_buffer.rs:286-312)
+    translate_record(model->cfg, rec.data(), model->formats, sh,
+                     primitive_only_ffm);
     sh.lr_start.push_back(int32_t(sh.lr_ids.size()));
     sh.ffm_start.push_back(int32_t(sh.ffm_ids.size()));
     return true;

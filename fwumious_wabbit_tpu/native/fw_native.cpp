@@ -43,9 +43,13 @@ void* fwn_create(int num_namespaces, const char* ns_names,
                  const int* ns_name_lens, const int* ns_indices,
                  const int* ns_formats, int skip_prefix, int num_combos,
                  const int* combo_offsets, const int* combo_ns,
-                 const float* combo_weights, int add_constant,
-                 uint32_t lr_mask, uint32_t ffm_mask, int num_ffm_fields,
-                 const int* field_offsets, const int* field_ns,
+                 const int* combo_ns_types, const float* combo_weights,
+                 int add_constant, uint32_t lr_mask, uint32_t ffm_mask,
+                 int num_ffm_fields, const int* field_offsets,
+                 const int* field_ns, const int* field_ns_types,
+                 int num_transforms, const int* t_kinds, const float* t_p0,
+                 const float* t_p1, const int* t_from_offsets,
+                 const int* t_from, const int* t_from_types,
                  int num_threads) {
   auto* ctx = new Ctx();
   Config& c = ctx->cfg;
@@ -66,8 +70,10 @@ void* fwn_create(int num_namespaces, const char* ns_names,
   }
   for (int i = 0; i < num_combos; i++) {
     ComboDesc d;
-    for (int j = combo_offsets[i]; j < combo_offsets[i + 1]; j++)
+    for (int j = combo_offsets[i]; j < combo_offsets[i + 1]; j++) {
       d.ns.push_back(combo_ns[j]);
+      d.ns_type.push_back(combo_ns_types[j]);
+    }
     d.weight = combo_weights[i];
     c.combos.push_back(std::move(d));
   }
@@ -75,10 +81,24 @@ void* fwn_create(int num_namespaces, const char* ns_names,
   c.lr_mask = lr_mask;
   c.ffm_mask = ffm_mask;
   for (int i = 0; i < num_ffm_fields; i++) {
-    std::vector<int> f;
-    for (int j = field_offsets[i]; j < field_offsets[i + 1]; j++)
-      f.push_back(field_ns[j]);
+    FfmFieldDesc f;
+    for (int j = field_offsets[i]; j < field_offsets[i + 1]; j++) {
+      f.ns.push_back(field_ns[j]);
+      f.ns_type.push_back(field_ns_types[j]);
+    }
     c.ffm_fields.push_back(std::move(f));
+  }
+  for (int i = 0; i < num_transforms; i++) {
+    TransformDef t;
+    t.kind = t_kinds[i];
+    t.p0 = t_p0[i];
+    t.p1 = t_p1[i];
+    for (int j = t_from_offsets[i]; j < t_from_offsets[i + 1]; j++) {
+      t.from.push_back(t_from[j]);
+      t.from_type.push_back(t_from_types[j]);
+    }
+    fill_transform_seeds(t, i);
+    c.transforms.push_back(std::move(t));
   }
   c.num_threads = num_threads > 0 ? num_threads : 1;
   c.finalize_lookup();

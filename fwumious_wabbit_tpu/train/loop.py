@@ -274,9 +274,7 @@ def _use_native(args, mi) -> bool:
         return False
     from .. import native as fw_native
 
-    if fw_native.load() is None:
-        return False
-    return not mi.transform_namespaces
+    return fw_native.load() is not None
 
 
 def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
