@@ -105,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Batch size 1, f32, no fusion: bit-faithful online mode")
     g.add_argument("--fwt_no_native", action="store_true",
                    help="Disable the C++ ingest engine (use the Python pipeline)")
+    g.add_argument("--fwt_profile", default=None, metavar="DIR",
+                   help="Write a jax.profiler trace of the run to DIR "
+                        "(view with TensorBoard / xprof)")
     return p
 
 

@@ -1,0 +1,234 @@
+"""Explicit-collectives distributed train step (shard_map).
+
+The plain jitted step + sharding annotations (parallel/mesh.py) lets GSPMD
+choose the collectives. This module is the hand-scheduled variant for large
+row-sharded tables — the distributed communication backend called for in
+SURVEY.md §2.4 (the reference has no distributed layer at all; its hogwild
+shared-memory loop maps to the 'data' axis here):
+
+* **batch** sharded over ``data``; **tables** row-sharded over ``table``;
+  dense tower replicated.
+* **lookup**: each table shard gathers the rows it owns (masked local take),
+  then one ``psum`` over ``table`` assembles full rows on every shard.
+* **update**: occurrence gradient rows are ``all_gather``-ed over ``data``
+  (so every table shard sees the whole batch's updates), squared grads are
+  scatter-added into the local accumulator shard, the AdaGrad rate is
+  computed owner-side from the freshly bumped accumulator (no collective),
+  and the rated update is scatter-subtracted locally. All replicas of a
+  table shard apply identical updates, so state stays consistent without a
+  reduce.
+* **dense tower**: gradient and squared-gradient partial sums meet in a
+  ``psum`` over ``data``.
+
+Semantics are identical to train/step.py's single-device step (asserted in
+tests on the 8-virtual-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..models.model import FwModel, predict_prob
+from ..ops import tables
+from ..train.step import _tower_backward, _tower_forward
+from .mesh import DATA_AXIS, TABLE_AXIS
+
+
+def _sharded_take(local: jnp.ndarray, rid: jnp.ndarray) -> jnp.ndarray:
+    """Gather global rows from a table row-sharded over TABLE_AXIS.
+
+    Masked local take + psum: each shard contributes the rows it owns."""
+    t = jax.lax.axis_index(TABLE_AXIS)
+    rl = local.shape[0]
+    lrid = rid - t * rl
+    ok = (lrid >= 0) & (lrid < rl)
+    rows = jnp.take(local, jnp.clip(lrid, 0, rl - 1), axis=0)
+    rows = jnp.where(ok.reshape(*ok.shape, 1), rows, 0.0)
+    return jax.lax.psum(rows, TABLE_AXIS)
+
+
+def _sharded_row_update(opt, w_local, acc_local, rid, grows):
+    """Owner-side AdaGrad row update for a row-sharded table.
+
+    ``rid``/``grows`` are this data-shard's occurrences; they are gathered
+    across DATA_AXIS so each table shard applies the entire batch."""
+    rid_all = jax.lax.all_gather(rid, DATA_AXIS).reshape(-1)
+    grows_all = jax.lax.all_gather(grows, DATA_AXIS).reshape(-1, grows.shape[-1])
+
+    t = jax.lax.axis_index(TABLE_AXIS)
+    rl = w_local.shape[0]
+    lrid = rid_all - t * rl
+    ok = (lrid >= 0) & (lrid < rl)
+    lrid_safe = jnp.clip(lrid, 0, rl - 1)
+    g = jnp.where(ok[:, None], grows_all, 0.0)
+
+    if not opt.has_state:  # SGD
+        return w_local.at[lrid_safe].add(-opt.learning_rate * g), acc_local
+    acc_new = acc_local.at[lrid_safe].add(g * g)
+    acc_rows = jnp.take(acc_new, lrid_safe, axis=0)
+    from ..ops.adagrad import OPT_ADAGRAD_LUT, flex_update, lut_rate_compute
+
+    if opt.kind == OPT_ADAGRAD_LUT:
+        upd = g * lut_rate_compute(acc_rows, opt.learning_rate, opt.power_t,
+                                   opt.initial_acc_gradient)
+    else:
+        upd = flex_update(g, acc_rows, opt.learning_rate, opt.power_t)
+    upd = jnp.where(ok[:, None], upd, 0.0)
+    return w_local.at[lrid_safe].add(-upd), acc_new
+
+
+def make_sharded_train_step(model: FwModel, mesh):
+    """(params, batch) → (params, preds) with explicit collectives.
+
+    ``params`` tables must be sharded P(table, None) and padded to the mesh
+    (parallel/mesh.py); ``batch`` arrays sharded P(data, ...)."""
+
+    has_ffm = model.has_ffm
+    has_nn = model.has_nn
+
+    def local_step(params, batch):
+        # -- sharded gathers ------------------------------------------------
+        lr_ids = batch["lr_ids"]
+        rid_lr = jax.lax.shift_right_logical(lr_ids, tables.LANE_BITS)
+        lane = lr_ids & (tables.LANE - 1)
+        lr_rows = _sharded_take(params["lr_w"], rid_lr)
+        lane_oh = jax.nn.one_hot(lane, tables.LANE, dtype=lr_rows.dtype)
+        lr_wg = jnp.einsum("...l,...l->...", lr_rows, lane_oh)
+        lr_aux = (rid_lr, lane_oh)
+
+        if has_ffm:
+            spec = model.ffm_spec
+            ids = batch["ffm_ids"]
+            if spec.rows_per_slab == 1:
+                rid_ffm = jax.lax.shift_right_logical(ids, tables.LANE_BITS)
+                rows = _sharded_take(params["ffm_w"], rid_ffm)
+                p_cnt = spec.positions
+                if p_cnt == 1:
+                    emb = rows[..., : spec.slab]
+                    ffm_aux = (rid_ffm, None)
+                else:
+                    pos_bits = (spec.align - 1).bit_length()
+                    pos = jax.lax.shift_right_logical(
+                        ids & (tables.LANE - 1), pos_bits)
+                    oh = jax.nn.one_hot(pos, p_cnt, dtype=rows.dtype)
+                    seg = rows.reshape(*rows.shape[:-1], p_cnt, spec.align)
+                    emb = jnp.einsum("...p,...pa->...a", oh, seg)[..., : spec.slab]
+                    ffm_aux = (rid_ffm, oh)
+            else:
+                g_cnt = spec.rows_per_slab
+                rid0 = jax.lax.shift_right_logical(ids, tables.LANE_BITS)
+                rid_ffm = rid0[..., None] + jnp.arange(g_cnt, dtype=ids.dtype)
+                rows = _sharded_take(params["ffm_w"], rid_ffm)
+                emb = rows.reshape(*rows.shape[:-2], g_cnt * tables.LANE)[
+                    ..., : spec.slab]
+                ffm_aux = (rid_ffm, None)
+        else:
+            emb, ffm_aux = None, None
+
+        # -- forward + backward (identical math to train/step.py) -----------
+        def sparse_to_x(lr_wg, emb):
+            parts = [model.lr_outputs(lr_wg, batch)]
+            if has_ffm:
+                parts.append(model.triangle(model.ffm_outputs(emb, batch)))
+            return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+        if has_ffm:
+            x, sparse_vjp = jax.vjp(sparse_to_x, lr_wg, emb)
+        else:
+            x, sparse_vjp = jax.vjp(lambda lw: sparse_to_x(lw, None), lr_wg)
+
+        if has_nn:
+            logit, residuals = _tower_forward(model, params, x, train=True)
+        else:
+            logit = jnp.sum(x, axis=-1)
+
+        p = predict_prob(logit)
+        gg = (p - batch["label"]) * batch["importance"]
+        inside = (logit >= -50.0) & (logit <= 50.0) & ~jnp.isnan(logit)
+        dlogit = jnp.where(inside, gg, 0.0)
+
+        new_params = dict(params)
+
+        if has_nn:
+            g_x, nn_grads, nn_gsqs = _tower_backward(model, params, residuals, dlogit)
+            # dense grads meet across data shards
+            nn_grads = jax.lax.psum(nn_grads, DATA_AXIS)
+            nn_gsqs = jax.lax.psum(nn_gsqs, DATA_AXIS)
+            new_nn = []
+            for layer, g, q in zip(params["nn"], nn_grads["nn"], nn_gsqs["nn"]):
+                nl = dict(layer)
+                nl["w"], w_acc = model.opt_nn.apply_dense(
+                    layer["w"], layer.get("w_acc"), g["w"], q["w"])
+                nl["b"], b_acc = model.opt_nn.apply_dense(
+                    layer["b"], layer.get("b_acc"), g["b"], q["b"])
+                if w_acc is not None:
+                    nl["w_acc"], nl["b_acc"] = w_acc, b_acc
+                new_nn.append(nl)
+            new_params["nn"] = new_nn
+            fl = dict(params["final"])
+            fl["w"], fw_acc = model.opt_nn.apply_dense(
+                params["final"]["w"], params["final"].get("w_acc"),
+                nn_grads["final"]["w"], nn_gsqs["final"]["w"])
+            fl["b"], fb_acc = model.opt_nn.apply_dense(
+                params["final"]["b"], params["final"].get("b_acc"),
+                nn_grads["final"]["b"], nn_gsqs["final"]["b"])
+            if fw_acc is not None:
+                fl["w_acc"], fl["b_acc"] = fw_acc, fb_acc
+            new_params["final"] = fl
+        else:
+            g_x = dlogit[:, None] * jnp.ones_like(x)
+
+        if has_ffm:
+            g_lr, g_emb = sparse_vjp(g_x)
+        else:
+            (g_lr,) = sparse_vjp(g_x)
+
+        # -- sharded row updates --------------------------------------------
+        rid_flat, grows_lr = tables.expand_scalar_grads(lr_aux, g_lr)
+        new_params["lr_w"], lr_acc = _sharded_row_update(
+            model.opt_lr, params["lr_w"], params.get("lr_acc"), rid_flat, grows_lr)
+        if lr_acc is not None:
+            new_params["lr_acc"] = lr_acc
+
+        if has_ffm:
+            rid_flat, grows_ffm = tables.expand_grads(ffm_aux, g_emb, model.ffm_spec)
+            new_params["ffm_w"], ffm_acc = _sharded_row_update(
+                model.opt_ffm, params["ffm_w"], params.get("ffm_acc"),
+                rid_flat, grows_ffm)
+            if ffm_acc is not None:
+                new_params["ffm_acc"] = ffm_acc
+
+        return new_params, p
+
+    def table_spec(key):
+        return P(TABLE_AXIS, None) if key in ("lr_w", "lr_acc", "ffm_w", "ffm_acc") else P()
+
+    def params_specs(params):
+        out = {}
+        for k, v in params.items():
+            if k == "nn":
+                out[k] = [{kk: P() for kk in layer} for layer in v]
+            elif isinstance(v, dict):
+                out[k] = {kk: P() for kk in v}
+            else:
+                out[k] = table_spec(k)
+        return out
+
+    def batch_specs(batch):
+        return {k: P(DATA_AXIS, *([None] * (v.ndim - 1))) for k, v in batch.items()}
+
+    def step(params, batch):
+        mapped = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(params_specs(params), batch_specs(batch)),
+            out_specs=(params_specs(params), P(DATA_AXIS)),
+            # table updates are replicated across 'data' by construction
+            # (inputs are all_gather-ed first); skip static replication check
+            check_vma=False,
+        )
+        return mapped(params, batch)
+
+    return jax.jit(step, donate_argnums=(0,))

@@ -456,7 +456,19 @@ def main(argv=None) -> int:
         build_cache_without_training(args, vw)
         return 0
 
-    result = run_train_loop(args, mi, vw, model, params)
+    profile_dir = getattr(args, "fwt_profile", None)
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+    try:
+        result = run_train_loop(args, mi, vw, model, params)
+    finally:
+        if profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            log.info("profiler trace written to %s", profile_dir)
 
     if args.final_regressor:
         model_file.save_model(
