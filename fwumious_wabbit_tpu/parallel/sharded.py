@@ -158,12 +158,18 @@ def make_sharded_train_step(model: FwModel, mesh):
             nn_grads = jax.lax.psum(nn_grads, DATA_AXIS)
             nn_gsqs = jax.lax.psum(nn_gsqs, DATA_AXIS)
             new_nn = []
-            for layer, g, q in zip(params["nn"], nn_grads["nn"], nn_gsqs["nn"]):
+            for spec, layer, g, q in zip(
+                model.nn_layers, params["nn"], nn_grads["nn"], nn_gsqs["nn"]
+            ):
                 nl = dict(layer)
                 nl["w"], w_acc = model.opt_nn.apply_dense(
                     layer["w"], layer.get("w_acc"), g["w"], q["w"])
                 nl["b"], b_acc = model.opt_nn.apply_dense(
                     layer["b"], layer.get("b_acc"), g["b"], q["b"])
+                if spec.maxnorm > 0.0:
+                    from ..train.step import apply_maxnorm
+
+                    nl["w"] = apply_maxnorm(nl["w"], spec.maxnorm)
                 if w_acc is not None:
                     nl["w_acc"], nl["b_acc"] = w_acc, b_acc
                 new_nn.append(nl)

@@ -147,6 +147,16 @@ def _tower_backward(model: FwModel, dense, residuals, dlogit):
     return g_x, grads, gsqs
 
 
+def apply_maxnorm(w: jnp.ndarray, maxnorm: float) -> jnp.ndarray:
+    """Per-neuron max-norm reprojection: scale each neuron's input-weight
+    column back to ``maxnorm`` when its L2 norm exceeds it (reference:
+    src/block_neural.rs:307-320 — applied every 10th example there; the
+    batched analogue applies once per step)."""
+    norms = jnp.sqrt(1e-6 + jnp.sum(w * w, axis=0, keepdims=True))
+    scale = jnp.where(norms > maxnorm, maxnorm / norms, 1.0)
+    return w * scale
+
+
 def make_train_step(model: FwModel):
     """Build the jitted train step: (params, batch) → (params, preds).
 
@@ -193,7 +203,9 @@ def make_train_step(model: FwModel):
         if has_nn:
             g_x, nn_grads, nn_gsqs = _tower_backward(model, params, residuals, dlogit)
             new_nn = []
-            for layer, g, q in zip(params["nn"], nn_grads["nn"], nn_gsqs["nn"]):
+            for spec, layer, g, q in zip(
+                model.nn_layers, params["nn"], nn_grads["nn"], nn_gsqs["nn"]
+            ):
                 nl = dict(layer)
                 nl["w"], w_acc = model.opt_nn.apply_dense(
                     layer["w"], layer.get("w_acc"), g["w"], q["w"]
@@ -201,6 +213,8 @@ def make_train_step(model: FwModel):
                 nl["b"], b_acc = model.opt_nn.apply_dense(
                     layer["b"], layer.get("b_acc"), g["b"], q["b"]
                 )
+                if spec.maxnorm > 0.0:
+                    nl["w"] = apply_maxnorm(nl["w"], spec.maxnorm)
                 if w_acc is not None:
                     nl["w_acc"], nl["b_acc"] = w_acc, b_acc
                 new_nn.append(nl)
