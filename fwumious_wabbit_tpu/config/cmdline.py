@@ -105,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Batch size 1, f32, no fusion: bit-faithful online mode")
     g.add_argument("--fwt_no_native", action="store_true",
                    help="Disable the C++ ingest engine (use the Python pipeline)")
+    g.add_argument("--fwt_serve_engine", choices=["auto", "native", "device"],
+                   default="auto",
+                   help="Daemon prediction engine: embedded C++ (microsecond "
+                        "latency) or the jitted device step")
     g.add_argument("--fwt_profile", default=None, metavar="DIR",
                    help="Write a jax.profiler trace of the run to DIR "
                         "(view with TensorBoard / xprof)")

@@ -67,28 +67,78 @@ class SharedPredictor:
         return np.asarray(preds)[: batch.num_examples]
 
 
+class NativeSharedPredictor:
+    """Serving engine backed by the embedded C++ predictor (fw_ffi.cpp):
+    microsecond single-line latency vs a device round-trip per line. Each
+    connection works on a cheap clone_lite of the shared prototype; a
+    ``hogwild_load`` swaps the prototype and bumps a generation counter so
+    open connections pick up the new weights on their next line (matching
+    the reference's live hot swap, src/serving.rs:112-140)."""
+
+    def __init__(self, model_path: str):
+        from .. import native as fw_native
+
+        self._lock = threading.Lock()
+        self._proto = fw_native.EmbeddedPredictor(f"-i {model_path}")
+        self.generation = 1
+
+    def hogwild_load(self, path: str) -> None:
+        from .. import native as fw_native
+
+        proto = fw_native.EmbeddedPredictor(f"-i {path}")  # raises on failure
+        with self._lock:
+            self._proto = proto
+            self.generation += 1
+
+    def clone(self):
+        with self._lock:
+            return self._proto.clone_lite(), self.generation
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):
         server: Serving = self.server.fwt_serving  # type: ignore[attr-defined]
+        native_pred = server.native_predictor
         parser = VowpalParser(server.vw)
-        translator = FeatureTranslator(server.predictor.mi)
+        translator = (
+            FeatureTranslator(server.predictor.mi) if native_pred is None else None
+        )
+        clone, gen = (None, 0)
         out = self.wfile
         while True:
             line = self.rfile.readline()
             if not line:
                 return
+            if not line.strip():
+                return
+            stripped = line.strip()
             try:
-                rec = parser.parse_line(line)
-                if rec.size == 0:
-                    return
-                te = translator.translate(rec)
-                p = server.predictor.predict_examples([te])[0]
+                if stripped == b"flush":
+                    out.flush()
+                    continue
+                if stripped.startswith(b"hogwild_load "):
+                    raise HogwildLoadCommand(stripped[13:].decode().strip())
+                if native_pred is not None:
+                    if clone is None or gen != native_pred.generation:
+                        clone, gen = native_pred.clone()
+                    p = clone.predict(line)
+                    if p < 0.0:  # error code: re-parse for the message
+                        parser.parse_line(line)
+                        raise ParseError("prediction failed")
+                else:
+                    rec = parser.parse_line(line)
+                    if rec.size == 0:
+                        return
+                    te = translator.translate(rec)
+                    p = server.predictor.predict_examples([te])[0]
                 out.write(f"{float(p):.6f}\n".encode())
                 out.flush()
             except FlushCommand:
                 out.flush()
             except HogwildLoadCommand as cmd:
                 try:
+                    if native_pred is not None:
+                        native_pred.hogwild_load(cmd.filename)
                     server.predictor.hogwild_load(cmd.filename)
                     out.write(b"hogwild_load success\n")
                     out.flush()
@@ -112,11 +162,23 @@ class Serving:
     """The daemon: N worker threads share one immutable predictor
     (reference: src/serving.rs:184-253; default port 26542, localhost)."""
 
-    def __init__(self, args, mi, vw, model, params):
+    def __init__(self, args, mi, vw, model, params, model_path: str | None = None):
         self.vw = vw
         self.port = int(getattr(args, "port", None) or 26542)
         self.num_children = int(getattr(args, "num_children", None) or 10)
         self.predictor = SharedPredictor(mi, model, params)
+        # the C++ engine serves single lines in microseconds; prefer it when
+        # available unless --fwt_serve_engine device is forced
+        self.native_predictor = None
+        engine = getattr(args, "fwt_serve_engine", "auto") or "auto"
+        if model_path and engine in ("auto", "native"):
+            try:
+                self.native_predictor = NativeSharedPredictor(str(model_path))
+                log.info("serving with the embedded C++ engine")
+            except Exception as e:  # noqa: BLE001
+                if engine == "native":
+                    raise
+                log.warning("native serving engine unavailable (%s); using device", e)
         self._server = None
 
     def serve(self, host: str = "127.0.0.1") -> None:

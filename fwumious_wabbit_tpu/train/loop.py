@@ -419,7 +419,8 @@ def main(argv=None) -> int:
         mi, vw, model, params = model_file.load_model(
             args.initial_regressor, immutable=True, args=args
         )
-        Serving(args, mi, vw, model, params).serve()
+        Serving(args, mi, vw, model, params,
+                model_path=args.initial_regressor).serve()
         return 0
 
     # -- convert to inference regressor --------------------------------------

@@ -124,6 +124,58 @@ def test_flush_and_multiple_clients(tmp_path):
         srv.shutdown()
 
 
+def test_native_engine_serving(tmp_path):
+    """The embedded C++ engine behind the TCP protocol: same wire format,
+    error handling, and live hogwild_load as the device engine."""
+    from fwumious_wabbit_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    args, mi, vw, model, params, mpath = build(tmp_path)
+    untrained_path = mpath.with_name("untrained.fwt")
+    mpath.rename(untrained_path)
+    _, _, _, _, _p1, trained_path = build(tmp_path, train_steps=5)
+    srv = Serving(args, mi, vw, model, params, model_path=untrained_path)
+    assert srv.native_predictor is not None
+    import threading
+
+    from fwumious_wabbit_tpu.serve import server as server_mod
+
+    s = server_mod._ThreadedTCPServer(("127.0.0.1", 0), server_mod._Handler)
+    s.fwt_serving = srv
+    srv._server = s
+    threading.Thread(target=s.serve_forever, daemon=True).start()
+    port = s.server_address[1]
+    try:
+        c = Client(port)
+        assert c.send(b"|A cat |B milk\n") == b"0.500000\n"
+        out = c.send(b"|Z nope\n")
+        assert out.startswith(b"ERR: ")
+        c.close()
+        c = Client(port)
+        assert c.send(f"hogwild_load {trained_path}\n".encode()) == b"hogwild_load success\n"
+        after = float(c.send(b"|A cat |B milk\n"))
+        assert after != 0.5
+        # matches the device engine's prediction for the same weights
+        mi2, vw2, model2, params2 = __import__(
+            "fwumious_wabbit_tpu.persistence.model_file", fromlist=["load_model"]
+        ).load_model(trained_path, immutable=True)
+        from fwumious_wabbit_tpu.ingest.parser import VowpalParser
+        from fwumious_wabbit_tpu.ingest.translator import Batcher, FeatureTranslator
+        from fwumious_wabbit_tpu.train.loop import _batch_dict
+        from fwumious_wabbit_tpu.train.step import make_predict_step
+
+        parser2 = VowpalParser(vw2)
+        ft2 = FeatureTranslator(mi2)
+        te = ft2.translate(parser2.parse_line(b"|A cat |B milk\n"))
+        b = Batcher(1).make_batch([te], pad_to_batch=False)
+        expected = float(make_predict_step(model2)(params2, _batch_dict(b))[0])
+        assert abs(after - expected) < 2e-6
+        c.close()
+    finally:
+        srv.shutdown()
+
+
 def test_hogwild_load_hot_swap(tmp_path):
     # train a model, save it, serve the UNtrained one, hot-swap to trained
     args, mi, vw, model, params0, _ = build(tmp_path)
