@@ -258,23 +258,24 @@ class FwModel:
             )
 
         if self.has_ffm:
+            # merand48-based init evaluated ON DEVICE (ops/init.py) — host
+            # generation + transfer of multi-GB tables dominated startup
+            from ..ops import init as ffm_init
+
             n = self.ffm_size
-            idx = np.arange(n, dtype=np.uint64)
             if mi.ffm_initialization_type != "default":
                 raise ValueError("Please select a valid activation function.")
             if mi.ffm_init_width == 0.0:
                 # (merand48(len+i) − 0.5) / √k / 50
                 # (reference: src/block_ffm.rs:796-806)
-                scale = np.float32(1.0 / np.sqrt(self.ffm_k) / 50.0)
-                w = (merand48_array(idx + np.uint64(n)) - np.float32(0.5)) * scale
+                w = ffm_init.ffm_init_default(n, self.ffm_k, self.ffm_spec.padded_size)
             else:
                 # center/width/zero-band scheme (reference: src/block_ffm.rs:807-822)
-                zero_half_band = np.float32(mi.ffm_init_width * mi.ffm_init_zero_band * 0.5)
-                band_width = np.float32(mi.ffm_init_width * (1.0 - mi.ffm_init_zero_band))
-                w = merand48_array(idx) * band_width - band_width * np.float32(0.5)
-                w = np.where(w > 0.0, w + zero_half_band, w - zero_half_band)
-                w = w + np.float32(mi.ffm_init_center)
-            params["ffm_w"] = tables.to_rows(jnp.asarray(w, jnp.float32), self.ffm_spec)
+                w = ffm_init.ffm_init_band(
+                    n, self.ffm_spec.padded_size, mi.ffm_init_width,
+                    mi.ffm_init_zero_band, mi.ffm_init_center,
+                )
+            params["ffm_w"] = w.reshape(self.ffm_spec.num_rows, tables.LANE)
             if self.opt_ffm.has_state:
                 params["ffm_acc"] = jnp.full(
                     (self.ffm_spec.num_rows, tables.LANE),
