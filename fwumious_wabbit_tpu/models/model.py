@@ -248,8 +248,10 @@ class FwModel:
 
     def init_params(self, seed: int = 0) -> dict:
         mi = self.mi
+        # jnp.full broadcasts on device; jnp.zeros would materialize on the
+        # host and transfer the whole table
         params: dict = {
-            "lr_w": jnp.zeros((self.lr_spec.num_rows, tables.LANE), jnp.float32)
+            "lr_w": jnp.full((self.lr_spec.num_rows, tables.LANE), 0.0, jnp.float32)
         }
         if self.opt_lr.has_state:
             params["lr_acc"] = jnp.full(
