@@ -13,7 +13,7 @@ exchanged for parity testing.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, field
 from enum import IntEnum
 
 from .vwmap import (

@@ -36,7 +36,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config.model_instance import ModelInstance, Optimizer
-from ..hashing import merand48_array
 from ..ops import tables
 from ..ops.adagrad import (
     OPT_ADAGRAD_FLEX,

@@ -23,12 +23,10 @@ reference: src/regressor.rs:356-379).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
-from ..models.model import FwModel, normalize_predict, normalize_train, predict_prob
+from ..models.model import FwModel, normalize_predict, predict_prob
 
 
 def _tower_forward(model: FwModel, dense, x, train: bool):
