@@ -1,0 +1,88 @@
+"""Compressed inputs, hyperparameter override on load, vwcompat validation."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from fwumious_wabbit_tpu.config.cmdline import build_parser
+from fwumious_wabbit_tpu.config.model_instance import ModelInstance
+from fwumious_wabbit_tpu.config.vwmap import VwNamespaceMap
+from fwumious_wabbit_tpu.models.model import FwModel
+from fwumious_wabbit_tpu.persistence import model_file
+from fwumious_wabbit_tpu.train.loop import run_train_loop
+
+VW_CSV = "A,animal\nB,food\n"
+LINES = b"".join(
+    f"{1 if i % 2 else -1} |A a{i % 7} |B b{i % 5}\n".encode() for i in range(200)
+)
+
+
+def run_cli(tmp_path, data_name, pred_name, extra=()):
+    argv = ["--keep", "A", "--keep", "B", "-b", "18", "--adaptive", "-l", "0.1",
+            "--data", str(tmp_path / data_name), "-p", str(tmp_path / pred_name),
+            "--fwt_batch_size", "64", *extra]
+    args = build_parser().parse_args(argv)
+    vw = VwNamespaceMap.from_dataset_dir(str(tmp_path / data_name))
+    mi = ModelInstance.from_cmdline(args, vw)
+    model = FwModel(mi)
+    run_train_loop(args, mi, vw, model)
+    return (tmp_path / pred_name).read_text()
+
+
+def test_gz_and_zst_inputs_match_plain(tmp_path):
+    (tmp_path / "vw_namespace_map.csv").write_text(VW_CSV)
+    (tmp_path / "d.vw").write_bytes(LINES)
+    with gzip.open(tmp_path / "d.vw.gz", "wb") as f:
+        f.write(LINES)
+    import zstandard
+
+    (tmp_path / "d.vw.zst").write_bytes(zstandard.ZstdCompressor().compress(LINES))
+
+    plain = run_cli(tmp_path, "d.vw", "plain.out")
+    gz = run_cli(tmp_path, "d.vw.gz", "gz.out")
+    zst = run_cli(tmp_path, "d.vw.zst", "zst.out")
+    assert plain == gz == zst
+    assert len(plain.splitlines()) == 200
+
+
+def test_hyperparameter_override_on_load(tmp_path):
+    (tmp_path / "vw_namespace_map.csv").write_text(VW_CSV)
+    vw = VwNamespaceMap.from_dataset_dir(str(tmp_path / "d.vw"))
+    args = build_parser().parse_args(
+        ["--keep", "A", "-b", "18", "--adaptive", "-l", "0.3", "--power_t", "0.4",
+         "--data", "x"]
+    )
+    mi = ModelInstance.from_cmdline(args, vw)
+    model = FwModel(mi)
+    model_file.save_model(tmp_path / "m.fwt", mi, vw, model, model.init_params())
+
+    # load with overrides (the whitelist: learning rates + power_t pairs)
+    args2 = build_parser().parse_args(
+        ["-l", "0.9", "--power_t", "0.1", "--data", "x", "-i", str(tmp_path / "m.fwt")]
+    )
+    mi2, _, _, _ = model_file.load_model(tmp_path / "m.fwt", args=args2)
+    assert mi2.learning_rate == pytest.approx(0.9)
+    assert mi2.power_t == pytest.approx(0.1)
+
+    # load without flags keeps the stored values
+    args3 = build_parser().parse_args(["--data", "x", "-i", str(tmp_path / "m.fwt")])
+    mi3, _, _, _ = model_file.load_model(tmp_path / "m.fwt", args=args3)
+    assert mi3.learning_rate == pytest.approx(0.3)
+    assert mi3.power_t == pytest.approx(0.4)
+
+
+def test_vwcompat_validation(tmp_path):
+    (tmp_path / "vw_namespace_map.csv").write_text(VW_CSV)
+    vw = VwNamespaceMap.from_dataset_dir(str(tmp_path / "d.vw"))
+    # missing --keep
+    args = build_parser().parse_args(
+        ["--vwcompat", "--hash", "all", "--sgd", "--adaptive", "--link", "logistic",
+         "--loss_function", "logistic", "--noconstant", "--data", "x"])
+    with pytest.raises(ValueError, match="keep"):
+        ModelInstance.from_cmdline(args, vw)
+    # missing --hash all
+    args = build_parser().parse_args(
+        ["--vwcompat", "--keep", "A", "--sgd", "--adaptive", "--data", "x"])
+    with pytest.raises(ValueError, match="hash all"):
+        ModelInstance.from_cmdline(args, vw)
