@@ -358,8 +358,32 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     cut_at = holdout_after - 1 if holdout_after is not None else None
 
     if _use_native(args, mi):
-        for bd, n in native_batch_stream(args, mi, vw, batch_size, cut_at):
-            params = process(params, bd, n)
+        import queue
+        import threading
+
+        import jax
+
+        # prefetch thread: C++ ingest and host→device transfers both release
+        # the GIL, so they overlap with step dispatch and prediction drains
+        q: queue.Queue = queue.Queue(maxsize=3)
+
+        def producer():
+            try:
+                for bd, n in native_batch_stream(args, mi, vw, batch_size, cut_at):
+                    db = {k: jax.device_put(v) for k, v in bd.items()}
+                    q.put((db, n))
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
+                q.put(e)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            params = process(params, *item)
     else:
         pending: list = []
 
