@@ -296,10 +296,41 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         getattr(args, "predictions", None), bool(getattr(args, "predictions_stdout", False))
     )
 
-    train_step = make_train_step(model) if not testonly else None
-    predict_step = make_predict_step(model)
+    # multi-device: --fwt_data_axis / --fwt_table_axis select a
+    # ('data','table') mesh; tables are row-sharded, batches data-sharded,
+    # and the explicit-collectives step (parallel/sharded.py) trains
+    n_table = int(getattr(args, "fwt_table_axis", 1) or 1)
+    n_data = getattr(args, "fwt_data_axis", None)
+    mesh = None
+    shard_batch_fn = None
+    if n_table > 1 or (n_data is not None and int(n_data) > 1):
+        import jax
+
+        from ..parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(
+            n_data=int(n_data) if n_data is not None else None, n_table=n_table
+        )
+        nd = mesh.shape[pmesh.DATA_AXIS]
+        if batch_size % nd:
+            batch_size = ((batch_size + nd - 1) // nd) * nd
+        log.info("mesh: %s (batch %d)", dict(mesh.shape), batch_size)
+
     if params is None:
         params = model.init_params()
+
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+        from ..parallel.sharded import make_sharded_train_step
+
+        params = pmesh.pad_params_for_mesh(model, params, mesh)
+        params = pmesh.shard_params(params, pmesh.param_sharding(mesh, params))
+        train_step = make_sharded_train_step(model, mesh) if not testonly else None
+        predict_step = make_predict_step(model)  # GSPMD handles sharded params
+        shard_batch_fn = lambda bd: pmesh.shard_batch(bd, mesh)  # noqa: E731
+    else:
+        train_step = make_train_step(model) if not testonly else None
+        predict_step = make_predict_step(model)
 
     example_num = 0
     t0 = time.time()
@@ -330,6 +361,8 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         first_num = example_num + 1
         example_num += n
         update = not testonly and (holdout_after is None or first_num < holdout_after)
+        if shard_batch_fn is not None:
+            bd = shard_batch_fn(bd)
 
         if delay == 0:
             if update and train_step is not None:
