@@ -129,6 +129,25 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     for _ in range(3):
         result = run_train_loop(args, mi, vw, model)
         ex_s = max(ex_s, result["examples"] / result["elapsed"])
+
+    # secondary metrics on stderr (the driver records stdout's single line):
+    # predict-only (-t) and cache-train, the reference's other two headline
+    # modes (BENCHMARK.md:20-22: 788k cache-train, 592k predict)
+    cache_argv = argv + ["-c"]
+    pargs = build_parser().parse_args(cache_argv)
+    run_train_loop(pargs, mi, vw, model)       # builds the cache
+    best = 0.0
+    for _ in range(2):
+        r = run_train_loop(pargs, mi, vw, model)  # trains from the cache
+        best = max(best, r["examples"] / r["elapsed"])
+    print(f"# cache-train: {best:,.0f} ex/s (ref 788k)", file=sys.stderr)
+    targs = build_parser().parse_args(argv + ["-t"])
+    run_train_loop(targs, mi, vw, model)       # compile warmup
+    best = 0.0
+    for _ in range(2):
+        r = run_train_loop(targs, mi, vw, model)
+        best = max(best, r["examples"] / r["elapsed"])
+    print(f"# predict: {best:,.0f} ex/s (ref 592k)", file=sys.stderr)
     return {
         "metric": f"end-to-end train examples/s (Eat-Rate benchmark schema, "
                   f"{rows} rows, b=25 AdaGrad, --interactions AB)",

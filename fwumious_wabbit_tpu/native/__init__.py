@@ -74,6 +74,8 @@ def _configure(lib):
     lib.fwn_lr_max.argtypes = [ctypes.c_void_p]
     lib.fwn_ffm_max.restype = ctypes.c_int
     lib.fwn_ffm_max.argtypes = [ctypes.c_void_p]
+    lib.fwn_records_consumed.restype = i64
+    lib.fwn_records_consumed.argtypes = [ctypes.c_void_p]
     lib.fwn_records_len.restype = i64
     lib.fwn_records_len.argtypes = [ctypes.c_void_p]
     lib.fwn_records_copy.argtypes = [ctypes.c_void_p, P(u32)]
@@ -295,6 +297,11 @@ class NativeIngest:
         if n < 0:
             raise ValueError(self._lib.fwn_last_error(self._ctx).decode())
         return int(n)
+
+    def records_consumed(self) -> int:
+        """Words consumed by the last translate_records (a partial trailing
+        record is left for the caller to carry over)."""
+        return int(self._lib.fwn_records_consumed(self._ctx))
 
     def records(self) -> np.ndarray:
         """Packed u32 records of the last translated block (cache writing)."""

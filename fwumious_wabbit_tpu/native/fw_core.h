@@ -199,6 +199,7 @@ struct Ctx {
   std::vector<Shard> shards;
   std::string error;
   int64_t n_examples = 0;
+  int64_t records_consumed = 0;
   int lr_max = 0, ffm_max = 0;
 };
 

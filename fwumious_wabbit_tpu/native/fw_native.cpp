@@ -206,7 +206,9 @@ int64_t fwn_translate_block(void* p, const char* buf, int64_t len) {
   return n;
 }
 
-// Translate pre-parsed packed u32 records (the cache read path).
+// Translate pre-parsed packed u32 records (the cache read path). A partial
+// trailing record is left unconsumed (fwn_records_consumed reports how many
+// words were processed); callers carry the tail into the next chunk.
 int64_t fwn_translate_records(void* p, const uint32_t* recs, int64_t words) {
   auto* ctx = static_cast<Ctx*>(p);
   const Config& cfg = ctx->cfg;
@@ -216,13 +218,15 @@ int64_t fwn_translate_records(void* p, const uint32_t* recs, int64_t words) {
   int64_t off = 0;
   while (off < words) {
     uint32_t reclen = recs[off];
-    if (reclen < HEADER_LEN || off + int64_t(reclen) > words) {
+    if (reclen < HEADER_LEN) {
       ctx->error = "corrupt record stream";
       return -1;
     }
+    if (off + int64_t(reclen) > words) break;  // partial trailing record
     translate_record(cfg, recs + off, formats, sh);
     off += reclen;
   }
+  ctx->records_consumed = off;
   sh.lr_start.push_back(int32_t(sh.lr_ids.size()));
   sh.ffm_start.push_back(int32_t(sh.ffm_ids.size()));
   int lr_max = 0, ffm_max = 0;
@@ -237,6 +241,11 @@ int64_t fwn_translate_records(void* p, const uint32_t* recs, int64_t words) {
 }
 
 int fwn_lr_max(void* p) { return static_cast<Ctx*>(p)->lr_max; }
+
+// words consumed by the last fwn_translate_records call
+int64_t fwn_records_consumed(void* p) {
+  return static_cast<Ctx*>(p)->records_consumed;
+}
 
 // toggle packed-record accumulation (only needed when writing a cache)
 void fwn_set_build_records(void* p, int on) {

@@ -195,16 +195,35 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
         try:
             reader = fwcache.RecordCacheReader(cpath, vw)
             log.info("using cache file %s", cpath)
-            pending: list[np.ndarray] = []
-            for rec in reader:
-                pending.append(rec)
-                if len(pending) >= block_cap():
-                    n = ni.translate_records(np.concatenate(pending))
-                    pending.clear()
-                    yield emit(n)
-            if pending:
-                n = ni.translate_records(np.concatenate(pending))
-                yield emit(n)
+            tail = b""
+            while True:
+                chunk = reader.read_chunk()
+                if not chunk and not tail:
+                    break
+                buf = tail + chunk
+                words = len(buf) // 4
+                if words == 0:
+                    if not chunk:
+                        raise ValueError("truncated cache file")
+                    tail = buf
+                    continue
+                arr = np.frombuffer(buf[: words * 4], np.uint32)
+                n = ni.translate_records(arr)
+                consumed = ni.records_consumed()
+                if not chunk and consumed < words:
+                    raise ValueError("truncated cache file")
+                tail = buf[consumed * 4:]
+                if n == 0:
+                    continue
+                lmax, nmax = ni.widths()
+                L = _bucket_pow2(lmax)
+                N = _bucket_pow2(nmax) if mi.ffm_k > 0 else 0
+                s = 0
+                while s < n:
+                    cap = min(block_cap(), n - s)
+                    yield strip_ones(ni.fill_range(s, cap, batch_size, L, N)), cap
+                    emitted += cap
+                    s += cap
             return
         except (fwcache.StaleCacheError, ValueError) as e:
             log.warning("cache rejected (%s); reparsing", e)

@@ -136,6 +136,46 @@ def test_ffi_quantized_model(tmp_path):
     pred_q.close()
 
 
+def test_ffi_cache_with_transforms(tmp_path):
+    """Context cache with transformed namespaces: the cache keeps only
+    primitive FFM features (reference: translate_and_filter with
+    NamespaceType::Primitive), so cached predictions must still equal full
+    predictions when a transform feeds an FFM field."""
+    (tmp_path / "vw_namespace_map.csv").write_text("A,animal\nB,food\nV,views,f32\n")
+    vw = VwNamespaceMap.from_dataset_dir(str(tmp_path / "data.vw"))
+    args = build_parser().parse_args(
+        ["--transform", "vb=BinnerSqrt(views)(1.0,2.0)",
+         "--keep", "A", "--linear", "vb",
+         "--ffm_k", "4", "--ffm_field_verbose", "animal",
+         "--ffm_field_verbose", "vb,food",
+         "-b", "20", "--ffm_bit_precision", "20", "--adaptive",
+         "-l", "0.1", "--data", "x"]
+    )
+    mi = ModelInstance.from_cmdline(args, vw)
+    model = FwModel(mi)
+    params = model.init_params()
+    parser = VowpalParser(vw)
+    ft = FeatureTranslator(mi)
+    step = make_train_step(model)
+    lines = [b"1 |A cat |B milk |V 25\n", b"-1 |A dog |B stone |V 4\n"] * 3
+    tes = [ft.translate(parser.parse_line(l)) for l in lines]
+    batch = Batcher(len(tes)).make_batch(tes, pad_to_batch=False)
+    for _ in range(3):
+        params, _ = step(params, _batch_dict(batch))
+    path = tmp_path / "mt.fwt"
+    model_file.save_model(path, mi, vw, model, params)
+
+    pred = native.EmbeddedPredictor(f"-i {path}")
+    context = b"1 |A cat |V 25"
+    for delta in (b" |B milk\n", b" |B stone bone\n"):
+        full = pred.predict(context + delta)
+        pred.setup_cache(context + b"\n")
+        cached = pred.predict_with_cache(delta)
+        assert abs(full - cached) < 1e-6, (delta, full, cached)
+        assert 0.0 <= full <= 1.0 and full != 0.5
+    pred.close()
+
+
 def test_ffi_error_paths(tmp_path):
     with pytest.raises(RuntimeError):
         native.EmbeddedPredictor("-i /nonexistent/model.fwt")
