@@ -318,6 +318,19 @@ class FwModel:
 
     # -- forward pieces --------------------------------------------------------
 
+    def lr_ids_combos(self, batch):
+        """(ids, combos) for the LR features.
+
+        The host may pack ``combo+1`` into the id bits above
+        ``bit_precision`` and elide the combos array entirely (padding packs
+        as 0 → combo −1, whose one-hot is the zero row)."""
+        ids = batch["lr_ids"]
+        if "lr_combos" in batch:
+            return ids, batch["lr_combos"]
+        shift = jnp.int32(self.mi.bit_precision)
+        combos = jax.lax.shift_right_logical(ids, shift) - 1
+        return ids & jnp.int32(self.mi.lr_hash_mask), combos
+
     def lr_outputs(self, lr_wg, batch) -> jnp.ndarray:
         """[B, C]: per-combo sums of w[hash]·value (reference: src/block_lr.rs:28-47).
         ``lr_wg`` is the gathered weight matrix [B, L].
@@ -327,12 +340,14 @@ class FwModel:
         (one_hot(−1) is the zero row)."""
         vals = batch.get("lr_vals")
         contrib = lr_wg if vals is None else lr_wg * vals  # [B, L]
-        onehot = jax.nn.one_hot(batch["lr_combos"], self.num_combos, dtype=contrib.dtype)
+        _, combos = self.lr_ids_combos(batch)
+        onehot = jax.nn.one_hot(combos, self.num_combos, dtype=contrib.dtype)
         return jnp.einsum("bl,blc->bc", contrib, onehot, precision=self.precision)
 
     def gather_lr(self, params, batch):
         """Scalar weights w[h] for the LR ids → ([B, L], aux for backward)."""
-        return tables.gather_scalars(params["lr_w"], batch["lr_ids"])
+        ids, _ = self.lr_ids_combos(batch)
+        return tables.gather_scalars(params["lr_w"], ids)
 
     def gather_ffm(self, params, batch):
         """[B, N, F·k] embedding slabs → (slabs, aux for backward).

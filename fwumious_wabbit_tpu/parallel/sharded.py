@@ -91,7 +91,7 @@ def make_sharded_train_step(model: FwModel, mesh):
 
     def local_step(params, batch):
         # -- sharded gathers ------------------------------------------------
-        lr_ids = batch["lr_ids"]
+        lr_ids, _ = model.lr_ids_combos(batch)
         rid_lr = jax.lax.shift_right_logical(lr_ids, tables.LANE_BITS)
         lane = lr_ids & (tables.LANE - 1)
         lr_rows = _sharded_take(params["lr_w"], rid_lr)
@@ -146,7 +146,11 @@ def make_sharded_train_step(model: FwModel, mesh):
             logit = jnp.sum(x, axis=-1)
 
         p = predict_prob(logit)
-        gg = (p - batch["label"]) * batch["importance"]
+        # label may arrive as uint8; importance may be elided (all ones)
+        gg = p - batch["label"].astype(jnp.float32)
+        imp = batch.get("importance")
+        if imp is not None:
+            gg = gg * imp
         inside = (logit >= -50.0) & (logit <= 50.0) & ~jnp.isnan(logit)
         dlogit = jnp.where(inside, gg, 0.0)
 

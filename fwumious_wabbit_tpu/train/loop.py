@@ -168,23 +168,33 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
     cpath = fwcache.cache_path_for(input_filename)
     emitted = 0
 
-    def strip_ones(bd):
-        """Drop value arrays the device can reconstruct as ones (padding is
-        inert via combo/field −1 one-hots; see NativeIngest.fill_range)."""
+    # pack combo+1 into the id bits above bit_precision when it fits —
+    # drops the combos array from the transfer (padding packs as 0 → −1)
+    pack_shift = (
+        mi.bit_precision
+        if mi.bit_precision + (mi.num_combos + 1).bit_length() <= 31
+        else None
+    )
+
+    def slim(bd, n):
+        """Shrink the batch payload: drop all-ones value arrays (padding is
+        inert via combo/field −1 one-hots), pack combos into id bits, u8
+        labels, and drop all-ones importance for full (padding-free)
+        batches."""
         flags = ni.all_ones_flags()
         if flags & 1:
             del bd["lr_vals"]
         if flags & 2 and mi.ffm_k > 0:
             del bd["ffm_vals"]
+        if pack_shift is not None:
+            bd["lr_ids"] = bd["lr_ids"] | (
+                (bd["lr_combos"].astype(np.int32) + 1) << pack_shift
+            )
+            del bd["lr_combos"]
+        bd["label"] = bd["label"].astype(np.uint8)
+        if flags & 4 and n == batch_size:
+            del bd["importance"]
         return bd
-
-    def emit(n):
-        nonlocal emitted
-        emitted += n
-        lmax, nmax = ni.widths()
-        L = _bucket_pow2(lmax)
-        N = _bucket_pow2(nmax) if mi.ffm_k > 0 else 0
-        return strip_ones(ni.fill(n, batch_size if n <= batch_size else n, L, N)), n
 
     def block_cap() -> int:
         if cut_at is None or emitted >= cut_at:
@@ -221,7 +231,7 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
                 s = 0
                 while s < n:
                     cap = min(block_cap(), n - s)
-                    yield strip_ones(ni.fill_range(s, cap, batch_size, L, N)), cap
+                    yield slim(ni.fill_range(s, cap, batch_size, L, N), cap), cap
                     emitted += cap
                     s += cap
             return
@@ -280,7 +290,7 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
             s = 0
             while s < n:
                 cap = min(block_cap(), n - s)
-                yield strip_ones(ni.fill_range(s, cap, batch_size, L, N)), cap
+                yield slim(ni.fill_range(s, cap, batch_size, L, N), cap), cap
                 emitted += cap
                 s += cap
     finally:

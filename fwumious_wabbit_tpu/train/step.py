@@ -192,7 +192,11 @@ def make_train_step(model: FwModel):
         # the reference's general_gradient: (p − label)·importance inside the
         # ±50 clamp, zero outside / NaN (src/block_loss_functions.rs:122-141)
         p = predict_prob(logit)
-        gg = (p - batch["label"]) * batch["importance"]
+        # label may arrive as uint8; importance may be elided (all ones)
+        gg = p - batch["label"].astype(jnp.float32)
+        imp = batch.get("importance")
+        if imp is not None:
+            gg = gg * imp
         inside = (logit >= -50.0) & (logit <= 50.0) & ~jnp.isnan(logit)
         dlogit = jnp.where(inside, gg, 0.0)
 
