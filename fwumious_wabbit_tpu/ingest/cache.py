@@ -86,7 +86,7 @@ class RecordCacheReader:
             self._reader = self._fh
         self._buf = b""
 
-    def read_chunk(self, size: int = 8 << 20) -> bytes:
+    def read_chunk(self, size: int = 64 << 20) -> bytes:
         """Raw decompressed bytes (bulk path for the native record
         translator); b"" at EOF."""
         return self._reader.read(size)

@@ -242,7 +242,7 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
     if writer is None:
         ni.set_build_records(False)
     stream = create_buffered_input(input_filename)
-    CHUNK_BYTES = 8 << 20
+    CHUNK_BYTES = 64 << 20  # big chunks: at most one padded partial batch per chunk
     try:
         tail = b""
         at_eof = False
@@ -432,8 +432,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         def producer():
             try:
                 for bd, n in native_batch_stream(args, mi, vw, batch_size, cut_at):
-                    db = {k: jax.device_put(v) for k, v in bd.items()}
-                    q.put((db, n))
+                    q.put((bd, n))
                 q.put(None)
             except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
                 q.put(e)
