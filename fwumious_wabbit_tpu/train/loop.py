@@ -478,9 +478,14 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
 
 
 def main(argv=None) -> int:
+    import logging
+
     from ..config.cmdline import build_parser
 
     args = build_parser().parse_args(argv)
+
+    if getattr(args, "quiet", False):
+        logging.getLogger().setLevel(logging.WARNING)
 
     if getattr(args, "fwt_platform", None):
         import jax

@@ -136,6 +136,30 @@ def test_ffi_quantized_model(tmp_path):
     pred_q.close()
 
 
+def test_ffi_nn_tower_matches_jax(tmp_path):
+    """The C++ engine's NN loader + tower forward (incl. relu, layernorm and
+    the x/σ predict-path normalization) against the JAX model."""
+    path, _mi, _vw = trained_model(
+        tmp_path,
+        extra_flags=("--nn_layers", "2",
+                     "--nn", "0:width:8", "--nn", "0:activation:relu",
+                     "--nn", "1:width:6", "--nn", "1:layernorm:after",
+                     "--nn_topology", "one",
+                     "--nn_learning_rate", "0.05", "--nn_power_t", "0.5"),
+    )
+    pred = native.EmbeddedPredictor(f"-i {path}")
+    jp = jax_predictions(path, TEST_LINES)
+    for line, expected in zip(TEST_LINES, jp):
+        got = pred.predict(line)
+        assert abs(got - float(expected)) < 5e-5, (line, got, float(expected))
+    # context cache must agree through the tower too
+    context = b"1 |A cat |C ctx1"
+    pred.setup_cache(context + b"\n")
+    for delta in (b" |B milk\n", b" |B bone\n"):
+        assert abs(pred.predict(context + delta) - pred.predict_with_cache(delta)) < 1e-6
+    pred.close()
+
+
 def test_ffi_cache_with_transforms(tmp_path):
     """Context cache with transformed namespaces: the cache keeps only
     primitive FFM features (reference: translate_and_filter with
