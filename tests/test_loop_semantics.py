@@ -74,6 +74,17 @@ def test_native_cache_roundtrip_matches(tmp_path):
 
 
 @pytest.mark.skipif(native.load() is None, reason="no native toolchain")
+def test_cache_with_holdout_matches_python(tmp_path):
+    """Cache read path + holdout boundary cuts (block_cap over records)."""
+    data = write_dataset(tmp_path)
+    extra = ["-c", "--holdout_after", "97"]
+    p1 = run(tmp_path, data, extra, "c1.out")           # builds cache
+    p2 = run(tmp_path, data, extra, "c2.out")           # reads cache
+    p3 = run(tmp_path, data, ["--holdout_after", "97", "--fwt_no_native"], "c3.out")
+    assert p1 == p2 == p3
+
+
+@pytest.mark.skipif(native.load() is None, reason="no native toolchain")
 def test_empty_line_terminates_stream(tmp_path):
     data = write_dataset(tmp_path, rows=50)
     text = data.read_text()
