@@ -86,3 +86,30 @@ def test_vwcompat_validation(tmp_path):
         ["--vwcompat", "--keep", "A", "--sgd", "--adaptive", "--data", "x"])
     with pytest.raises(ValueError, match="hash all"):
         ModelInstance.from_cmdline(args, vw)
+
+
+def test_quantized_convert_cli_roundtrip(tmp_path):
+    """--convert_inference_regressor --weight_quantization through the CLI
+    main(), then serve predictions from the quantized model (close to full)."""
+    from fwumious_wabbit_tpu.train.loop import main as cli_main
+
+    (tmp_path / "vw_namespace_map.csv").write_text(VW_CSV)
+    data = tmp_path / "d.vw"
+    data.write_bytes(LINES)
+    common = ["--keep", "A", "--keep", "B", "--ffm_k", "4",
+              "--ffm_field", "A", "--ffm_field", "B",
+              "-b", "18", "--adaptive", "-l", "0.1", "--fwt_batch_size", "64"]
+    assert cli_main(common + ["--data", str(data), "-f", str(tmp_path / "full.fwt"),
+                              "--save_resume"]) == 0
+    assert cli_main(common + ["-i", str(tmp_path / "full.fwt"),
+                              "--convert_inference_regressor", str(tmp_path / "q.fwt"),
+                              "--weight_quantization"]) == 0
+    assert (tmp_path / "q.fwt").stat().st_size < (tmp_path / "full.fwt").stat().st_size
+    assert cli_main(common + ["-i", str(tmp_path / "full.fwt"), "-t",
+                              "--data", str(data), "-p", str(tmp_path / "pf.out")]) == 0
+    assert cli_main(common + ["-i", str(tmp_path / "q.fwt"), "-t",
+                              "--data", str(data), "-p", str(tmp_path / "pq.out")]) == 0
+    pf = np.array([float(x) for x in (tmp_path / "pf.out").read_text().split()])
+    pq = np.array([float(x) for x in (tmp_path / "pq.out").read_text().split()])
+    assert len(pf) == 200
+    np.testing.assert_allclose(pq, pf, atol=5e-3)
