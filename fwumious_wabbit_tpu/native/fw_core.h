@@ -371,7 +371,9 @@ inline LineKind parse_line(const Config& cfg, const uint8_t* line, size_t n,
 
 using Feats = std::vector<std::pair<uint32_t, float>>;
 
-// append (hash, value) pairs of one primitive namespace from a record
+// append (hash, value) pairs of one primitive namespace from a record.
+// Tail offsets are clamped to the record length so a corrupted cache file
+// cannot cause out-of-bounds reads.
 inline void read_primitive(const uint32_t* rec, int slot, int format,
                            Feats& out) {
   uint32_t tok = rec[HEADER_LEN + slot];
@@ -382,7 +384,9 @@ inline void read_primitive(const uint32_t* rec, int slot, int format,
   if (tok == NO_FEATURES) return;
   uint32_t start = (tok >> 16) & 0x3fff;
   uint32_t end = tok & 0xffff;
-  for (uint32_t off = start; off < end; off += 2) {
+  uint32_t reclen = rec[0];
+  if (end > reclen) end = reclen;
+  for (uint32_t off = start; off + 1 < end; off += 2) {
     float v = format == 1 ? 1.0f : bits_f32(rec[off + 1]);
     out.emplace_back(rec[off], v);
   }
@@ -446,7 +450,9 @@ inline void read_float_ns(const uint32_t* rec, int slot,
   if ((tok & IS_NOT_SINGLE_MASK) == 0 || tok == NO_FEATURES) return;
   uint32_t start = (tok >> 16) & 0x3fff;
   uint32_t end = tok & 0xffff;
-  for (uint32_t off = start; off < end; off += 2)
+  uint32_t reclen = rec[0];
+  if (end > reclen) end = reclen;
+  for (uint32_t off = start; off + 1 < end; off += 2)
     out.push_back(bits_f32(rec[off + 1]));
 }
 

@@ -218,7 +218,7 @@ int64_t fwn_translate_records(void* p, const uint32_t* recs, int64_t words) {
   int64_t off = 0;
   while (off < words) {
     uint32_t reclen = recs[off];
-    if (reclen < HEADER_LEN) {
+    if (reclen < uint32_t(HEADER_LEN + cfg.num_namespaces)) {
       ctx->error = "corrupt record stream";
       return -1;
     }
