@@ -399,11 +399,13 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
             else:
                 preds = predict_step(params, bd)
         else:
-            # predict with the lagging model, then train queued batches
+            # predict with the lagging model, then train queued batches.
+            # NOTE: the reference's delay path trains every delayed example
+            # (holdout_after is not consulted there) — only --testonly gates
+            # (reference: src/main.rs:249-258)
             preds = predict_step(params, bd)
-            if update:
-                delayed.append((bd, n))
-                delayed_examples += n
+            delayed.append((bd, n))
+            delayed_examples += n
             while delayed and delayed_examples - delayed[0][1] >= delay:
                 old_bd, old_n = delayed.pop(0)
                 delayed_examples -= old_n
