@@ -489,6 +489,13 @@ def main(argv=None) -> int:
     if getattr(args, "quiet", False):
         logging.getLogger().setLevel(logging.WARNING)
 
+    if getattr(args, "hogwild_training", False):
+        log.info(
+            "--hogwild_training: asynchronous shared-memory updates map to "
+            "synchronous batched data parallelism on TPU (SURVEY.md §2.4); "
+            "scale throughput with --fwt_batch_size / --fwt_data_axis"
+        )
+
     if getattr(args, "fwt_platform", None):
         import jax
 
