@@ -176,6 +176,61 @@ def test_native_engine_serving(tmp_path):
         srv.shutdown()
 
 
+def test_native_engine_soak_under_hot_swap(tmp_path):
+    """8 concurrent clients hammering predictions while another client swaps
+    models repeatedly — no errors, every reply well-formed."""
+    from fwumious_wabbit_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    import threading
+
+    from fwumious_wabbit_tpu.serve import server as server_mod
+
+    args, mi, vw, model, params, mpath = build(tmp_path)
+    m0 = mpath.with_name("gen0.fwt")
+    mpath.rename(m0)
+    _, _, _, _, _p, m1 = build(tmp_path, train_steps=3)
+    srv = Serving(args, mi, vw, model, params, model_path=m0)
+    s = server_mod._ThreadedTCPServer(("127.0.0.1", 0), server_mod._Handler)
+    s.fwt_serving = srv
+    srv._server = s
+    threading.Thread(target=s.serve_forever, daemon=True).start()
+    port = s.server_address[1]
+    errors = []
+
+    def client(k):
+        try:
+            c = Client(port)
+            for i in range(200):
+                out = c.send(f"|A a{k}_{i} |B b{i}\n".encode())
+                v = float(out)
+                assert 0.0 <= v <= 1.0
+            c.close()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def swapper():
+        try:
+            c = Client(port)
+            for i in range(30):
+                path = m1 if i % 2 == 0 else m0
+                out = c.send(f"hogwild_load {path}\n".encode())
+                assert out == b"hogwild_load success\n", out
+            c.close()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(k,)) for k in range(8)]
+    threads.append(threading.Thread(target=swapper))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    srv.shutdown()
+    assert not errors, errors
+
+
 def test_hogwild_load_hot_swap(tmp_path):
     # train a model, save it, serve the UNtrained one, hot-swap to trained
     args, mi, vw, model, params0, _ = build(tmp_path)
