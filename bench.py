@@ -123,31 +123,30 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         [a if a != str(data) else str(warm) for a in argv])
     run_train_loop(wargs, mi, vw, model)
 
-    # best of 3: the TPU here sits behind a shared tunnel whose bandwidth
-    # fluctuates run to run; the best pass reflects achievable throughput
+    # best of up to 3 passes: the TPU here sits behind a shared tunnel whose
+    # bandwidth fluctuates run to run; stop early if passes are crawling so
+    # the whole bench stays inside the driver's budget
     ex_s = 0.0
     for _ in range(3):
         result = run_train_loop(args, mi, vw, model)
         ex_s = max(ex_s, result["examples"] / result["elapsed"])
+        if result["elapsed"] > 45.0:
+            break
 
     # secondary metrics on stderr (the driver records stdout's single line):
     # predict-only (-t) and cache-train, the reference's other two headline
     # modes (BENCHMARK.md:20-22: 788k cache-train, 592k predict)
-    cache_argv = argv + ["-c"]
-    pargs = build_parser().parse_args(cache_argv)
-    run_train_loop(pargs, mi, vw, model)       # builds the cache
-    best = 0.0
-    for _ in range(2):
-        r = run_train_loop(pargs, mi, vw, model)  # trains from the cache
-        best = max(best, r["examples"] / r["elapsed"])
-    print(f"# cache-train: {best:,.0f} ex/s (ref 788k)", file=sys.stderr)
-    targs = build_parser().parse_args(argv + ["-t"])
-    run_train_loop(targs, mi, vw, model)       # compile warmup
-    best = 0.0
-    for _ in range(2):
+    if result["elapsed"] <= 45.0:
+        pargs = build_parser().parse_args(argv + ["-c"])
+        run_train_loop(pargs, mi, vw, model)       # builds the cache
+        r = run_train_loop(pargs, mi, vw, model)   # trains from the cache
+        print(f"# cache-train: {r['examples']/r['elapsed']:,.0f} ex/s (ref 788k)",
+              file=sys.stderr)
+        targs = build_parser().parse_args(argv + ["-t"])
+        run_train_loop(targs, mi, vw, model)       # compile warmup
         r = run_train_loop(targs, mi, vw, model)
-        best = max(best, r["examples"] / r["elapsed"])
-    print(f"# predict: {best:,.0f} ex/s (ref 592k)", file=sys.stderr)
+        print(f"# predict: {r['examples']/r['elapsed']:,.0f} ex/s (ref 592k)",
+              file=sys.stderr)
     return {
         "metric": f"end-to-end train examples/s (Eat-Rate benchmark schema, "
                   f"{rows} rows, b=25 AdaGrad, --interactions AB)",
@@ -229,7 +228,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    rows = 2_000_000
+    rows = 1_000_000
     if "--rows" in sys.argv:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
     if "--device-step" in sys.argv:
