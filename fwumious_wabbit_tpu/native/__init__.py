@@ -9,8 +9,9 @@ tests cross-check the two.
 
 ``load()`` compiles the shared library on first use (g++ is in the image) and
 returns None if no toolchain is available — callers fall back to the Python
-path. Transformed namespaces are not implemented natively yet; configs using
-``--transform`` also fall back.
+path. Transformed namespaces (``--transform``) ARE implemented natively
+(fw_core.h transform executors, wired via fwn_create's transform tables below
+and cross-checked against the Python oracle in tests/test_native_transforms.py).
 """
 
 from __future__ import annotations
@@ -38,11 +39,13 @@ def load():
             return _lib
         _lib_tried = True
         try:
-            if not _SO.exists() or _SO.stat().st_mtime < (_DIR / "fw_native.cpp").stat().st_mtime:
-                subprocess.run(
-                    ["make", "-C", str(_DIR), "-s"],
-                    check=True, capture_output=True, text=True,
-                )
+            # Always invoke make (it is a no-op when up to date) so edits to
+            # ANY of the sources the Makefile tracks (fw_core.h, fw_ffi.cpp,
+            # fw_native.cpp, the Makefile itself) trigger a rebuild.
+            subprocess.run(
+                ["make", "-C", str(_DIR), "-s"],
+                check=True, capture_output=True, text=True,
+            )
             lib = ctypes.CDLL(str(_SO))
         except Exception:
             return None

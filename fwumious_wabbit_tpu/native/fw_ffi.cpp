@@ -766,7 +766,10 @@ std::vector<std::string> shellwords(const std::string& s) {
   return out;
 }
 
-std::string g_last_error;
+// thread_local: the TCP server calls new_fw_predictor_prototype (via
+// hogwild_load) from concurrent connection-handler threads; errno-style
+// per-thread storage makes concurrent swaps race-free.
+thread_local std::string g_last_error;
 
 }  // namespace
 

@@ -359,8 +359,19 @@ uint32_t fwn_murmur3(const char* data, int64_t len, uint32_t seed) {
 // src/main.rs:260-269); out must hold ≥ 16·n bytes; returns bytes written
 int64_t fwn_format_preds(const float* preds, int64_t n, char* out) {
   char* p = out;
-  for (int64_t i = 0; i < n; i++)
-    p += std::snprintf(p, 16, "%.6f\n", double(preds[i]));
+  for (int64_t i = 0; i < n; i++) {
+    int ret = std::snprintf(p, 16, "%.6f\n", double(preds[i]));
+    // snprintf returns the WOULD-BE length on truncation; clamp the advance
+    // to the bytes actually written (≤15 in a 16-byte slot) so a pathological
+    // value (inf/huge through this generic C ABI) cannot run p past the
+    // caller's 16·n buffer. Keep the trailing newline so line counts hold.
+    if (ret < 0) ret = 0;
+    if (ret > 15) {
+      p[14] = '\n';
+      ret = 15;
+    }
+    p += ret;
+  }
   return p - out;
 }
 

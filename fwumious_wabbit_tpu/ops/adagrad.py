@@ -12,17 +12,20 @@ Update rules are bit-faithful to the reference (reference: src/optimizer.rs):
   table lives comfortably in VMEM/SMEM and the lookup vectorizes as a gather.
 
 **Batch semantics.** The reference is an online learner: one update per
-weight per example, gradient summed over the example's contributions
+weight per example, gradient summed over the example's contributions first
 (reference: src/block_ffm.rs:265-288, SPEED.md). The batched TPU step
-preserves this per-example shape statistically:
+preserves this per-example shape — ``tables.dedup_rows`` segment-sums each
+example's contributions per weight before the update, so per weight:
 
-    acc  += Σ_examples g_e²          (per-example squared gradients)
-    w    -= (Σ_examples g_e) * rate(acc_new)
+    g_e   = Σ (contributions of example e)     (dedup_rows)
+    acc  += Σ_examples g_e²                     (one (Σg)² bump per example)
+    w    -= (Σ_examples g_e) · rate(acc_new)
 
 At batch size 1 this is exactly the reference's update (one example, one
-acc bump, one weight step). For B>1 the trajectory differs from sequential
-online AdaGrad (as any synchronous batching must); parity is validated
-statistically on the benchmark datasets.
+acc bump, one weight step) — including duplicated ids within the example.
+For B>1 the trajectory differs from sequential online AdaGrad (as any
+synchronous batching must); parity is validated statistically on the
+benchmark datasets.
 """
 
 from __future__ import annotations
@@ -35,6 +38,16 @@ import jax.numpy as jnp
 FASTMATH_LR_LUT_BITS = 11
 FASTMATH_LR_LUT_SIZE = 1 << FASTMATH_LR_LUT_BITS
 
+# Smallest normal f32. Denormal bucket edges are flushed to zero in BOTH the
+# table (build_lut) and the arithmetic hot path (lut_rate_compute) so the two
+# are bit-identical: XLA's pow flushes denormal inputs (TPU FTZ semantics)
+# while numpy's does not. A denormal accumulator is unreachable on TPU (the
+# g² accumulation itself flushes), so this deviates from the reference table
+# only in buckets that cannot be hit; flushed buckets fall back to plain
+# ``learning_rate``, same as the acc==0 bucket (reference: src/optimizer.rs:
+# 121-144 builds huge-but-finite entries there instead).
+_FLT_MIN = np.float32(2.0 ** -126)
+
 # optimizer kinds (values match the reference's enum for file compat)
 OPT_SGD = 100
 OPT_ADAGRAD_FLEX = 200
@@ -46,14 +59,16 @@ def build_lut(learning_rate: float, power_t: float, initial_acc_gradient: float)
     (reference: src/optimizer.rs:121-144)."""
     lut = np.zeros(FASTMATH_LR_LUT_SIZE, dtype=np.float32)
     minus_power_t = -power_t
+    def edge(x):
+        v = np.uint32(x << (31 - FASTMATH_LR_LUT_BITS)).view(np.float32)
+        if abs(v) < _FLT_MIN:  # flush denormal edges (see _FLT_MIN note)
+            v = np.float32(0.0)
+        return v + np.float32(initial_acc_gradient)
+
     with np.errstate(all="ignore"):
         for x in range(FASTMATH_LR_LUT_SIZE):
-            fx = np.uint32(x << (31 - FASTMATH_LR_LUT_BITS)).view(np.float32) + np.float32(
-                initial_acc_gradient
-            )
-            fx1 = np.uint32((x + 1) << (31 - FASTMATH_LR_LUT_BITS)).view(
-                np.float32
-            ) + np.float32(initial_acc_gradient)
+            fx = edge(x)
+            fx1 = edge(x + 1)
             val = (
                 np.float32(learning_rate)
                 * (np.float32(fx) ** np.float32(minus_power_t)
@@ -95,12 +110,16 @@ def lut_rate_compute(acc: jnp.ndarray, learning_rate: float, power_t: float,
     key = jax.lax.shift_right_logical(
         jax.lax.bitcast_convert_type(acc, jnp.uint32), shift
     )
-    e0 = jax.lax.bitcast_convert_type(
-        jax.lax.shift_left(key, shift), jnp.float32
-    ) + jnp.float32(initial_acc_gradient)
-    e1 = jax.lax.bitcast_convert_type(
-        jax.lax.shift_left(key + jnp.uint32(1), shift), jnp.float32
-    ) + jnp.float32(initial_acc_gradient)
+
+    def edge(k):
+        v = jax.lax.bitcast_convert_type(jax.lax.shift_left(k, shift), jnp.float32)
+        # flush denormal edges so this matches build_lut bit-for-bit
+        # (tested over all 2048 buckets in test_model_parity.py)
+        v = jnp.where(jnp.abs(v) < _FLT_MIN, jnp.float32(0.0), v)
+        return v + jnp.float32(initial_acc_gradient)
+
+    e0 = edge(key)
+    e1 = edge(key + jnp.uint32(1))
     mpt = jnp.float32(-power_t)
     val = jnp.float32(learning_rate) * jnp.float32(0.5) * (
         jnp.power(e0, mpt) + jnp.power(e1, mpt)
@@ -160,14 +179,17 @@ class ScopedOptimizer:
         """Sparse update of a row table (see ops/tables.py) — only touched
         rows move through HBM, never the full table.
 
-        ``rid [K]`` row ids (duplicates fine), ``grows [K, 128]``
-        per-occurrence gradient rows. Sequence: scatter-add all squared
-        gradients into the accumulator, re-gather the *bumped* accumulator
-        rows, rate them, scatter-subtract ``rate · g``. Duplicates sum
-        correctly on both scatters and all see the same post-bump rate —
-        i.e. ``acc += Σ g²; w -= rate(acc_new) · Σ g``, the batch form of
-        the reference's per-weight update (reference: src/optimizer.rs:76-89,
-        src/block_ffm.rs:265-288).
+        ``rid [K]`` row ids, ``grows [K, 128]`` gradient rows. Sequence:
+        scatter-add squared gradients into the accumulator, re-gather the
+        *bumped* accumulator rows, rate them, scatter-subtract ``rate · g``.
+
+        Duplicate ids within one example MUST be pre-summed by
+        ``tables.dedup_rows`` (the train steps do this) so the accumulator
+        receives ``(Σg)²`` per (example, weight) — the reference sums an
+        example's contributions and updates each weight once (reference:
+        src/optimizer.rs:76-89, src/block_ffm.rs:265-288, SPEED.md).
+        Duplicates *across* examples still sum on the scatter and share the
+        post-bump rate — the batch form of sequential per-example updates.
         """
         if self.kind == OPT_SGD:
             return w.at[rid].add(-self.learning_rate * grows), acc

@@ -26,11 +26,13 @@ Addressing:
   addressing re-design, not a translation (hash semantics stay identical
   upstream of the mask).
 
-The per-row AdaGrad update preserves the batch-update semantics documented
-in ops/adagrad.py: ``acc += Σ g²`` scatter-added first, then the rate is
-computed from the *bumped* accumulator and ``w -= rate · Σ g`` — duplicate
-ids inside a batch sum correctly because scatter-add accumulates and every
-duplicate sees the same post-bump accumulator.
+The per-row AdaGrad update preserves the reference's per-example semantics:
+all of an example's contributions to a weight are summed FIRST and the
+weight is updated once (reference: src/block_ffm.rs:265-288, SPEED.md), so
+the accumulator receives ``(Σg)²`` per (example, weight) — not ``Σg²``.
+:func:`dedup_rows` performs that per-example segment-sum before the scatter;
+across examples the batch generalization is ``acc += Σ_e (Σ_within_e g)²``,
+exact at batch size 1.
 """
 
 from __future__ import annotations
@@ -179,3 +181,50 @@ def expand_scalar_grads(aux, g: jnp.ndarray):
     rid, oh = aux
     grows = oh * g[..., None]
     return rid.reshape(-1), grows.reshape(-1, LANE)
+
+
+# ---------------------------------------------------------------------------
+# per-example duplicate-id deduplication
+# ---------------------------------------------------------------------------
+
+
+def dedup_rows(rid: jnp.ndarray, grows: jnp.ndarray, batch: int):
+    """Segment-sum each example's gradient rows with equal row id.
+
+    The reference sums all of one example's contributions to a weight and
+    updates it ONCE, so the AdaGrad accumulator receives ``(Σg)²`` — not the
+    per-occurrence ``Σg²`` (reference: src/block_ffm.rs:265-288, SPEED.md;
+    duplicates arise from the same feature repeated in a namespace or LR
+    combo hash collisions). This sorts each example's occurrences by row id,
+    sums runs of equal ids onto the run's first occurrence and zeroes the
+    rest; the subsequent scatter in ``apply_rows`` then performs exactly one
+    ``(Σg)²`` bump and one rated update per (example, row). Lanes never mix
+    within a row, so per-*weight* semantics hold for both the LR one-hot-lane
+    layout and FFM slabs.
+
+    ``rid [K]`` int32, ``grows [K, 128]`` with ``K = batch·W``; returns
+    same-shape ``(rid, grows)``. Cost: one small sort plus a [W,W] one-hot
+    contraction per example (MXU work) — duplicates also stop colliding in
+    the scatter, which XLA would otherwise serialize.
+    """
+    K = rid.shape[0]
+    W = K // batch
+    if W <= 1:
+        return rid, grows
+    r = rid.reshape(batch, W)
+    g = grows.reshape(batch, W, LANE)
+    order = jnp.argsort(r, axis=1)
+    r_s = jnp.take_along_axis(r, order, axis=1)
+    g_s = jnp.take_along_axis(g, order[:, :, None], axis=1)
+    is_first = jnp.concatenate(
+        [jnp.ones((batch, 1), bool), r_s[:, 1:] != r_s[:, :-1]], axis=1
+    )
+    seg = jnp.cumsum(is_first.astype(jnp.int32), axis=1) - 1  # [B, W]
+    seg_oh = jax.nn.one_hot(seg, W, dtype=g.dtype)  # [B, W, W]
+    totals = jnp.einsum("bws,bwl->bsl", seg_oh, g_s)  # run sums, indexed by seg
+    g_d = jnp.where(
+        is_first[:, :, None],
+        jnp.take_along_axis(totals, seg[:, :, None], axis=1),
+        jnp.zeros((), g.dtype),
+    )
+    return r_s.reshape(-1), g_d.reshape(-1, LANE)

@@ -4,27 +4,42 @@ The plain jitted step + sharding annotations (parallel/mesh.py) lets GSPMD
 choose the collectives. This module is the hand-scheduled variant for large
 row-sharded tables — the distributed communication backend called for in
 SURVEY.md §2.4 (the reference has no distributed layer at all; its hogwild
-shared-memory loop maps to the 'data' axis here):
+shared-memory loop maps to the 'data' axis here). Two exchange strategies:
 
-* **batch** sharded over ``data``; **tables** row-sharded over ``table``;
-  dense tower replicated.
+**psum** (small table-axis counts; batch sharded over ``data`` only,
+replicated along ``table``):
+
 * **lookup**: each table shard gathers the rows it owns (masked local take),
   then one ``psum`` over ``table`` assembles full rows on every shard.
 * **update**: occurrence gradient rows are ``all_gather``-ed over ``data``
-  (so every table shard sees the whole batch's updates), squared grads are
-  scatter-added into the local accumulator shard, the AdaGrad rate is
-  computed owner-side from the freshly bumped accumulator (no collective),
-  and the rated update is scatter-subtracted locally. All replicas of a
-  table shard apply identical updates, so state stays consistent without a
-  reduce.
-* **dense tower**: gradient and squared-gradient partial sums meet in a
-  ``psum`` over ``data``.
+  (every table shard replays the whole batch), scatter-applied owner-side.
+* Per-shard communication grows with the mesh — simple and exactly
+  equivalent to the single-device step, but the wrong shape for a pod.
 
-Semantics are identical to train/step.py's single-device step (asserted in
-tests on the 8-virtual-device CPU mesh).
+**a2a** (the scalable path — the all-to-all ID exchange of SURVEY §2.4;
+batch sharded over BOTH axes, so each device owns ``B/(n_d·n_t)`` examples):
+
+* **lookup**: each device buckets its ids by owner shard →
+  ``all_to_all`` over ``table`` carries each owner the id list it must
+  serve → owner-local row gather → ``all_to_all`` carries the rows back.
+* **update**: ids + gradient rows travel to their owner column the same
+  way; one ``all_gather`` over ``data`` then merges the *owner-bucketed*
+  rows from the other data replicas before the local scatter. Per-shard
+  traffic is ≈ ``touched_rows·516B/n_table`` — it SHRINKS as the table
+  axis grows (the psum path's grows), see ``estimate_comm_bytes``.
+* all-to-all sends use a fixed per-destination capacity
+  ``slack·K/n_table`` (static shapes). murmur3-uniform ids overflow a 2×
+  slack with vanishing probability; overflowed occurrences contribute zero
+  weight on lookup and drop their update that step (masked, tested).
+
+Semantics are identical to train/step.py's single-device step (asserted for
+both exchanges in tests on the 8-virtual-device CPU mesh) — including the
+per-example duplicate-id dedup (ops/tables.dedup_rows).
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -197,7 +212,12 @@ def make_sharded_train_step(model: FwModel, mesh):
             (g_lr,) = sparse_vjp(g_x)
 
         # -- sharded row updates --------------------------------------------
+        B = dlogit.shape[0]  # local (per data shard) batch
         rid_flat, grows_lr = tables.expand_scalar_grads(lr_aux, g_lr)
+        if model.opt_lr.has_state:
+            # per-example dedup before any collective: the reference updates
+            # each weight once per example with the summed gradient
+            rid_flat, grows_lr = tables.dedup_rows(rid_flat, grows_lr, B)
         new_params["lr_w"], lr_acc = _sharded_row_update(
             model.opt_lr, params["lr_w"], params.get("lr_acc"), rid_flat, grows_lr)
         if lr_acc is not None:
@@ -205,6 +225,8 @@ def make_sharded_train_step(model: FwModel, mesh):
 
         if has_ffm:
             rid_flat, grows_ffm = tables.expand_grads(ffm_aux, g_emb, model.ffm_spec)
+            if model.opt_ffm.has_state:
+                rid_flat, grows_ffm = tables.dedup_rows(rid_flat, grows_ffm, B)
             new_params["ffm_w"], ffm_acc = _sharded_row_update(
                 model.opt_ffm, params["ffm_w"], params.get("ffm_acc"),
                 rid_flat, grows_ffm)

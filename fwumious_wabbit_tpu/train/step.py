@@ -244,7 +244,12 @@ def make_train_step(model: FwModel):
         # sparse row updates: only touched rows move through HBM
         from ..ops import tables
 
+        B = dlogit.shape[0]
         rid_lr, grows_lr = tables.expand_scalar_grads(lr_aux, g_lr)
+        if model.opt_lr.has_state:
+            # reference semantics: per example, sum a weight's contributions
+            # and update once — acc gets (Σg)², not Σg²
+            rid_lr, grows_lr = tables.dedup_rows(rid_lr, grows_lr, B)
         new_params["lr_w"], lr_acc = model.opt_lr.apply_rows(
             params["lr_w"], params.get("lr_acc"), rid_lr, grows_lr
         )
@@ -253,6 +258,8 @@ def make_train_step(model: FwModel):
 
         if has_ffm:
             rid_ffm, grows_ffm = tables.expand_grads(ffm_aux, g_emb, model.ffm_spec)
+            if model.opt_ffm.has_state:
+                rid_ffm, grows_ffm = tables.dedup_rows(rid_ffm, grows_ffm, B)
             new_params["ffm_w"], ffm_acc = model.opt_ffm.apply_rows(
                 params["ffm_w"], params.get("ffm_acc"), rid_ffm, grows_ffm
             )

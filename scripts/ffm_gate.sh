@@ -8,6 +8,11 @@ set -e
 cd /root/repo
 D=/tmp/ffm_verify/datasets
 O=/tmp/ffm_verify
+mkdir -p "$O"
+if [ ! -f "$D/train.vw" ]; then
+    python examples/ffm/generate.py --out "$D" \
+        --num_animals 300 --num_foods 200 --num_train_examples 30000
+fi
 NS="--keep A --keep B --interactions AB --ffm_k 10 --ffm_field A --ffm_field B"
 REST="-l 0.1 -b 25 --sgd --loss_function logistic --link logistic --power_t 0.0 --l2 0.0 --hash all --noconstant --fwt_platform cpu --fwt_batch_size 256"
 

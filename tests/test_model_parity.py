@@ -98,6 +98,33 @@ def test_adagrad_lut_unit():
     assert upd == 0.0
 
 
+def test_lut_rate_compute_bit_identical_to_table():
+    """lut_rate_compute (the hot-path arithmetic recomputation) must be
+    BIT-identical to build_lut + lut_rate over every one of the 2048 buckets
+    (edge and mid-bucket bit patterns) for several (lr, power_t, init_acc)
+    combos — it replaces the golden-tested table in the train step."""
+    from fwumious_wabbit_tpu.ops.adagrad import (
+        FASTMATH_LR_LUT_BITS,
+        lut_rate_compute,
+    )
+
+    shift = 31 - FASTMATH_LR_LUT_BITS
+    keys = np.arange(1 << FASTMATH_LR_LUT_BITS, dtype=np.uint32)
+    edge = (keys << shift).view(np.float32)
+    mid = ((keys << shift) | np.uint32(1 << (shift - 1))).view(np.float32)
+    accs = jnp.asarray(np.concatenate([edge, mid]))
+    for lr, pt, iag in [(0.15, 0.4, 0.0), (0.1, 0.5, 0.0), (0.1, 0.5, 1.0),
+                        (0.5, 0.25, 0.1), (1.0, 0.0, 0.0)]:
+        lut = jnp.asarray(build_lut(lr, pt, iag))
+        want = np.asarray(lut_rate(accs, lut))
+        got = np.asarray(lut_rate_compute(accs, lr, pt, iag))
+        mismatch = want.view(np.uint32) != got.view(np.uint32)
+        assert not mismatch.any(), (
+            lr, pt, iag, np.flatnonzero(mismatch)[:8],
+            want[mismatch][:4], got[mismatch][:4],
+        )
+
+
 def test_lut_vs_flex_relative_error():
     """LUT vs exact AdaGrad relative error < 5% over the reference's grid
     (reference: src/optimizer.rs:229-269)."""
