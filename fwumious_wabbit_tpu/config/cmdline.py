@@ -101,6 +101,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Number of devices on the data-parallel mesh axis")
     g.add_argument("--fwt_table_axis", type=int, default=1,
                    help="Number of devices on the table (row-shard) mesh axis")
+    g.add_argument("--fwt_exchange", choices=["auto", "psum", "a2a"],
+                   default="auto",
+                   help="Sharded-table exchange: 'a2a' = all-to-all id "
+                        "exchange (per-shard comms shrink with the table "
+                        "axis; default when --fwt_table_axis > 1), 'psum' = "
+                        "masked-gather reduction (simple, small meshes)")
+    g.add_argument("--fwt_a2a_capacity", type=float, default=2.0,
+                   help="Slack factor for per-destination all-to-all send "
+                        "capacity (slots = slack*K/n_table)")
+    g.add_argument("--fwt_hosts", type=int, default=None,
+                   help="Number of host processes in a multi-host run "
+                        "(jax.distributed); run one process per host")
+    g.add_argument("--fwt_host_id", type=int, default=None,
+                   help="This process's index in a --fwt_hosts run")
+    g.add_argument("--fwt_coordinator", default=None, metavar="HOST:PORT",
+                   help="Coordinator address for a --fwt_hosts run "
+                        "(host 0's address)")
     g.add_argument("--fwt_exact", action="store_true",
                    help="Batch size 1, f32, no fusion: bit-faithful online mode")
     g.add_argument("--fwt_no_native", action="store_true",

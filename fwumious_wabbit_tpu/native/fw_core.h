@@ -371,11 +371,29 @@ inline LineKind parse_line(const Config& cfg, const uint8_t* line, size_t n,
 
 using Feats = std::vector<std::pair<uint32_t, float>>;
 
+// Two-record view for partial-evaluation serving (fw_ffi.cpp 3-call cache):
+// a namespace slot declared in the ``delta`` record REPLACES the primary
+// record's slot — exactly what re-declaring a namespace later on the same
+// line does in parse_line (the later declaration overwrites the slot), so
+// translating a (context, delta) pair through this view is equivalent to
+// parsing the concatenated line. ``delta == nullptr`` (the ingest hot path)
+// reads the primary record only.
+struct RecView {
+  const uint32_t* primary;
+  const uint32_t* delta = nullptr;
+
+  const uint32_t* rec(int slot) const {
+    if (delta && delta[HEADER_LEN + slot] != NO_FEATURES) return delta;
+    return primary;
+  }
+};
+
 // append (hash, value) pairs of one primitive namespace from a record.
 // Tail offsets are clamped to the record length so a corrupted cache file
 // cannot cause out-of-bounds reads.
-inline void read_primitive(const uint32_t* rec, int slot, int format,
+inline void read_primitive(const RecView& view, int slot, int format,
                            Feats& out) {
+  const uint32_t* rec = view.rec(slot);
   uint32_t tok = rec[HEADER_LEN + slot];
   if ((tok & IS_NOT_SINGLE_MASK) == 0) {
     out.emplace_back(tok, 1.0f);
@@ -443,9 +461,10 @@ inline double safe_ln(double x) {
 
 // float values of an f32 namespace (feature_reader_float_namespace!,
 // reference: src/feature_buffer.rs:110-135) — hash_value is always 1.0
-inline void read_float_ns(const uint32_t* rec, int slot,
+inline void read_float_ns(const RecView& view, int slot,
                           std::vector<float>& out) {
   out.clear();
+  const uint32_t* rec = view.rec(slot);
   uint32_t tok = rec[HEADER_LEN + slot];
   if ((tok & IS_NOT_SINGLE_MASK) == 0 || tok == NO_FEATURES) return;
   uint32_t start = (tok >> 16) & 0x3fff;

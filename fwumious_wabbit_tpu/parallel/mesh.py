@@ -70,9 +70,12 @@ def param_sharding(mesh: Mesh, params: dict) -> dict:
     return out
 
 
-def batch_sharding(mesh: Mesh, batch: dict) -> dict:
-    """Batch arrays shard on axis 0 over the data axis."""
-    return {k: NamedSharding(mesh, P(DATA_AXIS)) for k in batch}
+def batch_sharding(mesh: Mesh, batch: dict, both_axes: bool = False) -> dict:
+    """Batch arrays shard on axis 0 — over ``data`` (psum exchange) or over
+    ``('data','table')`` (a2a exchange: every device owns distinct
+    examples)."""
+    axes = (DATA_AXIS, TABLE_AXIS) if both_axes else DATA_AXIS
+    return {k: NamedSharding(mesh, P(axes)) for k in batch}
 
 
 def pad_params_for_mesh(model, params: dict, mesh: Mesh) -> dict:
@@ -103,6 +106,6 @@ def shard_params(params: dict, shardings: dict):
     )
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    sh = batch_sharding(mesh, batch)
+def shard_batch(batch: dict, mesh: Mesh, both_axes: bool = False) -> dict:
+    sh = batch_sharding(mesh, batch, both_axes)
     return {k: jax.device_put(v, sh[k]) for k, v in batch.items()}

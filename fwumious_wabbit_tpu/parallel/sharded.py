@@ -65,8 +65,27 @@ def _sharded_take(local: jnp.ndarray, rid: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.psum(rows, TABLE_AXIS)
 
 
+def _apply_local_rows(opt, w_local, acc_local, lrid, g):
+    """The owner-side optimizer tail shared by both exchanges: bump acc with
+    g², rate from the bumped acc, scatter-subtract. ``lrid`` must be in
+    range; masked-out occurrences carry g == 0 (zero adds are no-ops and
+    rate·0 == 0, flex_update zeroes the 0·inf corner)."""
+    if not opt.has_state:  # SGD
+        return w_local.at[lrid].add(-opt.learning_rate * g), acc_local
+    acc_new = acc_local.at[lrid].add(g * g)
+    acc_rows = jnp.take(acc_new, lrid, axis=0)
+    from ..ops.adagrad import OPT_ADAGRAD_LUT, flex_update, lut_rate_compute
+
+    if opt.kind == OPT_ADAGRAD_LUT:
+        upd = g * lut_rate_compute(acc_rows, opt.learning_rate, opt.power_t,
+                                   opt.initial_acc_gradient)
+    else:
+        upd = flex_update(g, acc_rows, opt.learning_rate, opt.power_t)
+    return w_local.at[lrid].add(-upd), acc_new
+
+
 def _sharded_row_update(opt, w_local, acc_local, rid, grows):
-    """Owner-side AdaGrad row update for a row-sharded table.
+    """Owner-side AdaGrad row update for a row-sharded table (psum exchange).
 
     ``rid``/``grows`` are this data-shard's occurrences; they are gathered
     across DATA_AXIS so each table shard applies the entire batch."""
@@ -79,37 +98,166 @@ def _sharded_row_update(opt, w_local, acc_local, rid, grows):
     ok = (lrid >= 0) & (lrid < rl)
     lrid_safe = jnp.clip(lrid, 0, rl - 1)
     g = jnp.where(ok[:, None], grows_all, 0.0)
-
-    if not opt.has_state:  # SGD
-        return w_local.at[lrid_safe].add(-opt.learning_rate * g), acc_local
-    acc_new = acc_local.at[lrid_safe].add(g * g)
-    acc_rows = jnp.take(acc_new, lrid_safe, axis=0)
-    from ..ops.adagrad import OPT_ADAGRAD_LUT, flex_update, lut_rate_compute
-
-    if opt.kind == OPT_ADAGRAD_LUT:
-        upd = g * lut_rate_compute(acc_rows, opt.learning_rate, opt.power_t,
-                                   opt.initial_acc_gradient)
-    else:
-        upd = flex_update(g, acc_rows, opt.learning_rate, opt.power_t)
-    upd = jnp.where(ok[:, None], upd, 0.0)
-    return w_local.at[lrid_safe].add(-upd), acc_new
+    return _apply_local_rows(opt, w_local, acc_local, lrid_safe, g)
 
 
-def make_sharded_train_step(model: FwModel, mesh):
+# ---------------------------------------------------------------------------
+# all-to-all ID exchange (the scalable path, SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_slots(owner, n_t: int, capacity: int):
+    """Per-destination slot assignment for an all-to-all send buffer.
+
+    ``owner [K]`` destination shard per occurrence. Returns ``(slot, valid)``
+    where ``slot[k]`` is k's position inside its owner's bucket (== the
+    number of earlier occurrences with the same owner, via an exclusive
+    one-hot cumsum — no sort needed) and ``valid`` marks slots < capacity.
+    Overflowed occurrences get slot == capacity, which is out of bounds and
+    dropped by the scatter (``mode='drop'``)."""
+    oh = (owner[:, None] == jnp.arange(n_t, dtype=owner.dtype)[None, :]).astype(
+        jnp.int32
+    )  # [K, n_t]
+    excl = jnp.cumsum(oh, axis=0) - oh
+    rank = jnp.sum(excl * oh, axis=1)
+    valid = rank < capacity
+    slot = jnp.where(valid, rank, capacity)
+    return slot, valid
+
+
+def _a2a_take(local: jnp.ndarray, rid: jnp.ndarray, n_t: int, capacity: int):
+    """Gather global rows from a TABLE_AXIS-row-sharded table by all-to-all
+    id exchange: bucket ids by owner → a2a the id lists → owner-local gather
+    → a2a the rows back. Overflowed ids (> capacity requests to one owner)
+    return zero rows. Traffic per device ≈ 2·K·(516 B)/1 — independent of
+    n_table for the rows, vs the psum path's n_table-growing reduction."""
+    t = jax.lax.axis_index(TABLE_AXIS)
+    rl, lane = local.shape
+    shape = rid.shape
+    rid = rid.reshape(-1)
+    owner = rid // rl  # tables are padded to n_t equal shards
+    slot, valid = _bucket_slots(owner, n_t, capacity)
+    send_ids = jnp.zeros((n_t, capacity), rid.dtype).at[owner, slot].set(
+        rid, mode="drop"
+    )
+    recv_ids = jax.lax.all_to_all(send_ids, TABLE_AXIS, 0, 0)  # requests to me
+    lrid = jnp.clip(recv_ids.reshape(-1) - t * rl, 0, rl - 1)
+    served = jnp.take(local, lrid, axis=0).reshape(n_t, capacity, lane)
+    recv_rows = jax.lax.all_to_all(served, TABLE_AXIS, 0, 0)  # replies to me
+    flat = recv_rows.reshape(n_t * capacity, lane)
+    rows = jnp.take(flat, jnp.where(valid, owner * capacity + slot, 0), axis=0)
+    rows = jnp.where(valid[:, None], rows, 0.0)
+    return rows.reshape(*shape, lane)
+
+
+def _a2a_row_update(opt, w_local, acc_local, rid, grows, n_t: int, capacity: int):
+    """Owner-side row update via all-to-all: ids + gradient rows travel to
+    their owner column over TABLE_AXIS, then one all_gather over DATA_AXIS
+    merges the owner-bucketed rows from the other data replicas — per-shard
+    traffic ≈ batch_rows·516B/n_table (shrinks with the table axis), unlike
+    the psum path's whole-batch all_gather. Overflowed occurrences drop
+    their update for the step (murmur3-uniform ids at 2× slack make this
+    vanishingly rare; see estimate_comm_bytes)."""
+    t = jax.lax.axis_index(TABLE_AXIS)
+    rl, lane = w_local.shape
+    rid = rid.reshape(-1)
+    owner = rid // rl
+    slot, valid = _bucket_slots(owner, n_t, capacity)
+    send_ids = jnp.zeros((n_t, capacity), rid.dtype).at[owner, slot].set(
+        rid, mode="drop"
+    )
+    send_g = jnp.zeros((n_t, capacity, lane), grows.dtype).at[owner, slot].set(
+        grows, mode="drop"
+    )
+    recv_ids = jax.lax.all_to_all(send_ids, TABLE_AXIS, 0, 0)
+    recv_g = jax.lax.all_to_all(send_g, TABLE_AXIS, 0, 0)
+    all_ids = jax.lax.all_gather(recv_ids, DATA_AXIS).reshape(-1)
+    all_g = jax.lax.all_gather(recv_g, DATA_AXIS).reshape(-1, lane)
+    lrid = all_ids - t * rl
+    # unfilled send slots carry id 0 with zero gradient — harmless adds
+    ok = (lrid >= 0) & (lrid < rl)
+    g = jnp.where(ok[:, None], all_g, 0.0)
+    lrid_safe = jnp.clip(lrid, 0, rl - 1)
+    return _apply_local_rows(opt, w_local, acc_local, lrid_safe, g)
+
+
+def a2a_capacity(n_occurrences: int, n_t: int, capacity_factor: float) -> int:
+    """Static per-destination all-to-all capacity: ``slack·K/n_t`` slots."""
+    return max(1, math.ceil(capacity_factor * n_occurrences / n_t))
+
+
+def estimate_comm_bytes(batch_global: int, width: int, mesh_shape: tuple[int, int],
+                        exchange: str, capacity_factor: float = 2.0) -> int:
+    """Per-device collective traffic (bytes received) per table per step —
+    the analytical model behind the exchange choice, asserted against the
+    compiled HLO in tests/test_sharded.py.
+
+    psum: lookup psums full [K_loc,128] rows over the table axis
+    (ring ≈ array size per device) and the update all_gathers EVERY
+    occurrence row over the data axis — O(B·width·516) per shard regardless
+    of n_table. a2a: ids+rows travel owner-bucketed, so the data-axis gather
+    only carries ~1/n_table of the rows — per-shard traffic shrinks as the
+    table axis grows."""
+    n_d, n_t = mesh_shape
+    row_b = tables.LANE * 4
+    id_b = 4
+    if exchange == "psum":
+        k_loc = (batch_global // n_d) * width
+        lookup = k_loc * row_b * (n_t - 1) // max(n_t, 1)  # ring psum recv
+        update = (n_d - 1) * k_loc * (row_b + id_b)  # data all_gather
+        return lookup + update
+    k_dev = (batch_global // (n_d * n_t)) * width
+    cap = a2a_capacity(k_dev, n_t, capacity_factor)
+    a2a = 2 * (n_t - 1) * cap * (row_b + id_b)  # fwd + bwd exchanges
+    gather = (n_d - 1) * n_t * cap * (row_b + id_b)  # owner-bucketed rows
+    return a2a + gather
+
+
+def make_sharded_train_step(model: FwModel, mesh, exchange: str = "auto",
+                            capacity_factor: float = 2.0):
     """(params, batch) → (params, preds) with explicit collectives.
 
     ``params`` tables must be sharded P(table, None) and padded to the mesh
-    (parallel/mesh.py); ``batch`` arrays sharded P(data, ...)."""
+    (parallel/mesh.py). ``exchange``:
+
+    * ``"psum"`` — batch sharded P(data); lookups psum over the table axis,
+      updates all_gather over the data axis. Simple; per-shard comms grow
+      with the mesh.
+    * ``"a2a"`` — batch sharded P(('data','table')) (use
+      ``shard_batch(batch, mesh, both_axes=True)``); all-to-all id exchange
+      both directions, per-shard comms shrink with the table axis.
+    * ``"auto"`` — a2a when the table axis is > 1.
+    """
+    n_t = mesh.shape[TABLE_AXIS]
+    if exchange == "auto":
+        exchange = "a2a" if n_t > 1 else "psum"
+    if exchange not in ("psum", "a2a"):
+        raise ValueError(f"unknown exchange: {exchange!r}")
+    a2a = exchange == "a2a"
 
     has_ffm = model.has_ffm
     has_nn = model.has_nn
+    # dense grads: in a2a mode the batch is split along BOTH axes
+    dense_axes = (DATA_AXIS, TABLE_AXIS) if a2a else DATA_AXIS
+
+    def take(local, rid):
+        if a2a:
+            cap = a2a_capacity(rid.size, n_t, capacity_factor)
+            return _a2a_take(local, rid, n_t, cap)
+        return _sharded_take(local, rid)
+
+    def row_update(opt, w_local, acc_local, rid, grows):
+        if a2a:
+            cap = a2a_capacity(rid.size, n_t, capacity_factor)
+            return _a2a_row_update(opt, w_local, acc_local, rid, grows, n_t, cap)
+        return _sharded_row_update(opt, w_local, acc_local, rid, grows)
 
     def local_step(params, batch):
         # -- sharded gathers ------------------------------------------------
         lr_ids, _ = model.lr_ids_combos(batch)
         rid_lr = jax.lax.shift_right_logical(lr_ids, tables.LANE_BITS)
         lane = lr_ids & (tables.LANE - 1)
-        lr_rows = _sharded_take(params["lr_w"], rid_lr)
+        lr_rows = take(params["lr_w"], rid_lr)
         lane_oh = jax.nn.one_hot(lane, tables.LANE, dtype=lr_rows.dtype)
         lr_wg = jnp.einsum("...l,...l->...", lr_rows, lane_oh)
         lr_aux = (rid_lr, lane_oh)
@@ -119,7 +267,7 @@ def make_sharded_train_step(model: FwModel, mesh):
             ids = batch["ffm_ids"]
             if spec.rows_per_slab == 1:
                 rid_ffm = jax.lax.shift_right_logical(ids, tables.LANE_BITS)
-                rows = _sharded_take(params["ffm_w"], rid_ffm)
+                rows = take(params["ffm_w"], rid_ffm)
                 p_cnt = spec.positions
                 if p_cnt == 1:
                     emb = rows[..., : spec.slab]
@@ -136,7 +284,7 @@ def make_sharded_train_step(model: FwModel, mesh):
                 g_cnt = spec.rows_per_slab
                 rid0 = jax.lax.shift_right_logical(ids, tables.LANE_BITS)
                 rid_ffm = rid0[..., None] + jnp.arange(g_cnt, dtype=ids.dtype)
-                rows = _sharded_take(params["ffm_w"], rid_ffm)
+                rows = take(params["ffm_w"], rid_ffm)
                 emb = rows.reshape(*rows.shape[:-2], g_cnt * tables.LANE)[
                     ..., : spec.slab]
                 ffm_aux = (rid_ffm, None)
@@ -173,9 +321,9 @@ def make_sharded_train_step(model: FwModel, mesh):
 
         if has_nn:
             g_x, nn_grads, nn_gsqs = _tower_backward(model, params, residuals, dlogit)
-            # dense grads meet across data shards
-            nn_grads = jax.lax.psum(nn_grads, DATA_AXIS)
-            nn_gsqs = jax.lax.psum(nn_gsqs, DATA_AXIS)
+            # dense grads meet across all batch shards
+            nn_grads = jax.lax.psum(nn_grads, dense_axes)
+            nn_gsqs = jax.lax.psum(nn_gsqs, dense_axes)
             new_nn = []
             for spec, layer, g, q in zip(
                 model.nn_layers, params["nn"], nn_grads["nn"], nn_gsqs["nn"]
@@ -212,13 +360,13 @@ def make_sharded_train_step(model: FwModel, mesh):
             (g_lr,) = sparse_vjp(g_x)
 
         # -- sharded row updates --------------------------------------------
-        B = dlogit.shape[0]  # local (per data shard) batch
+        B = dlogit.shape[0]  # local batch
         rid_flat, grows_lr = tables.expand_scalar_grads(lr_aux, g_lr)
         if model.opt_lr.has_state:
             # per-example dedup before any collective: the reference updates
             # each weight once per example with the summed gradient
             rid_flat, grows_lr = tables.dedup_rows(rid_flat, grows_lr, B)
-        new_params["lr_w"], lr_acc = _sharded_row_update(
+        new_params["lr_w"], lr_acc = row_update(
             model.opt_lr, params["lr_w"], params.get("lr_acc"), rid_flat, grows_lr)
         if lr_acc is not None:
             new_params["lr_acc"] = lr_acc
@@ -227,13 +375,15 @@ def make_sharded_train_step(model: FwModel, mesh):
             rid_flat, grows_ffm = tables.expand_grads(ffm_aux, g_emb, model.ffm_spec)
             if model.opt_ffm.has_state:
                 rid_flat, grows_ffm = tables.dedup_rows(rid_flat, grows_ffm, B)
-            new_params["ffm_w"], ffm_acc = _sharded_row_update(
+            new_params["ffm_w"], ffm_acc = row_update(
                 model.opt_ffm, params["ffm_w"], params.get("ffm_acc"),
                 rid_flat, grows_ffm)
             if ffm_acc is not None:
                 new_params["ffm_acc"] = ffm_acc
 
         return new_params, p
+
+    batch_axes = (DATA_AXIS, TABLE_AXIS) if a2a else DATA_AXIS
 
     def table_spec(key):
         return P(TABLE_AXIS, None) if key in ("lr_w", "lr_acc", "ffm_w", "ffm_acc") else P()
@@ -250,15 +400,20 @@ def make_sharded_train_step(model: FwModel, mesh):
         return out
 
     def batch_specs(batch):
-        return {k: P(DATA_AXIS, *([None] * (v.ndim - 1))) for k, v in batch.items()}
+        return {k: P(batch_axes, *([None] * (v.ndim - 1))) for k, v in batch.items()}
 
     def step(params, batch):
         mapped = shard_map(
             local_step, mesh=mesh,
             in_specs=(params_specs(params), batch_specs(batch)),
-            out_specs=(params_specs(params), P(DATA_AXIS)),
-            # table updates are replicated across 'data' by construction
-            # (inputs are all_gather-ed first); skip static replication check
+            out_specs=(params_specs(params), P(batch_axes)),
+            # Table updates are replicated across 'data' by construction
+            # (update inputs are all_gather'd / a2a'd over 'data' first), but
+            # jax 0.9's static vma checker has no invariance-assertion
+            # primitive, so check_vma=True cannot hold for these out_specs.
+            # The replication is proven at RUNTIME instead:
+            # tests/test_sharded.py::test_table_shards_replicated_across_data_axis
+            # compares per-device shard bytes across the data axis.
             check_vma=False,
         )
         return mapped(params, batch)

@@ -326,10 +326,13 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     )
 
     # multi-device: --fwt_data_axis / --fwt_table_axis select a
-    # ('data','table') mesh; tables are row-sharded, batches data-sharded,
-    # and the explicit-collectives step (parallel/sharded.py) trains
+    # ('data','table') mesh; tables are row-sharded and the
+    # explicit-collectives step (parallel/sharded.py) trains, with the
+    # exchange strategy from --fwt_exchange (a2a shards the batch over BOTH
+    # axes so every device owns distinct examples)
     n_table = int(getattr(args, "fwt_table_axis", 1) or 1)
     n_data = getattr(args, "fwt_data_axis", None)
+    exchange = getattr(args, "fwt_exchange", "auto") or "auto"
     mesh = None
     shard_batch_fn = None
     if n_table > 1 or (n_data is not None and int(n_data) > 1):
@@ -340,10 +343,15 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         mesh = pmesh.make_mesh(
             n_data=int(n_data) if n_data is not None else None, n_table=n_table
         )
-        nd = mesh.shape[pmesh.DATA_AXIS]
-        if batch_size % nd:
-            batch_size = ((batch_size + nd - 1) // nd) * nd
-        log.info("mesh: %s (batch %d)", dict(mesh.shape), batch_size)
+        if exchange == "auto":
+            exchange = "a2a" if n_table > 1 else "psum"
+        nshard = mesh.shape[pmesh.DATA_AXIS] * (
+            n_table if exchange == "a2a" else 1
+        )
+        if batch_size % nshard:
+            batch_size = ((batch_size + nshard - 1) // nshard) * nshard
+        log.info("mesh: %s exchange=%s (batch %d)",
+                 dict(mesh.shape), exchange, batch_size)
 
     if params is None:
         params = model.init_params()
@@ -354,9 +362,16 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
 
         params = pmesh.pad_params_for_mesh(model, params, mesh)
         params = pmesh.shard_params(params, pmesh.param_sharding(mesh, params))
-        train_step = make_sharded_train_step(model, mesh) if not testonly else None
+        train_step = (
+            make_sharded_train_step(
+                model, mesh, exchange=exchange,
+                capacity_factor=float(getattr(args, "fwt_a2a_capacity", 2.0) or 2.0),
+            )
+            if not testonly else None
+        )
         predict_step = make_predict_step(model)  # GSPMD handles sharded params
-        shard_batch_fn = lambda bd: pmesh.shard_batch(bd, mesh)  # noqa: E731
+        both = exchange == "a2a"
+        shard_batch_fn = lambda bd: pmesh.shard_batch(bd, mesh, both_axes=both)  # noqa: E731
     else:
         train_step = make_train_step(model) if not testonly else None
         predict_step = make_predict_step(model)
@@ -500,6 +515,15 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.fwt_platform)
+
+    # multi-host: must run before any JAX backend initialization
+    from ..parallel.distributed import initialize_multihost
+
+    initialize_multihost(
+        getattr(args, "fwt_coordinator", None),
+        getattr(args, "fwt_hosts", None),
+        getattr(args, "fwt_host_id", None),
+    )
 
     if args.final_regressor and not args.save_resume:
         log.error(
