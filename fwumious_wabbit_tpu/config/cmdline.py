@@ -118,6 +118,18 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--fwt_coordinator", default=None, metavar="HOST:PORT",
                    help="Coordinator address for a --fwt_hosts run "
                         "(host 0's address)")
+    g.add_argument("--fwt_batch_mean", choices=["off", "on", "auto"],
+                   default="auto",
+                   help="Cap each weight's effective per-batch multiplicity "
+                        "at --fwt_batch_cap (hot weights' summed gradients "
+                        "are scaled to that many online updates' worth; "
+                        "cold weights unchanged). 'auto' = only AdaGrad "
+                        "scopes with power_t 0, whose constant rate makes "
+                        "the summed form diverge at large batch. Identical "
+                        "at batch size 1 in every mode")
+    g.add_argument("--fwt_batch_cap", type=float, default=8.0,
+                   help="Multiplicity cap for --fwt_batch_mean (1.0 = pure "
+                        "per-weight mean)")
     g.add_argument("--fwt_exact", action="store_true",
                    help="Batch size 1, f32, no fusion: bit-faithful online mode")
     g.add_argument("--fwt_no_native", action="store_true",

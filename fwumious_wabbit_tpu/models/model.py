@@ -192,10 +192,24 @@ class FwModel:
     Persistence flattens rows back to the reference's flat arenas.
     """
 
-    def __init__(self, mi: ModelInstance, precision: str = "highest"):
+    def __init__(self, mi: ModelInstance, precision: str = "highest",
+                 batch_mean_mode: str = "auto", batch_cap: float = 8.0):
         # precision: 'highest' = full f32 contractions (parity with the f32
         # reference); 'default' = TPU-native bf16 MXU inputs with f32
         # accumulation (throughput mode; statistical parity only).
+        #
+        # batch_mean_mode ('off'|'on'|'auto', --fwt_batch_mean): cap each
+        # weight's effective per-batch multiplicity at batch_cap
+        # (ops/adagrad.batch_mean_grads — weights with ≤ cap contributing
+        # examples are untouched; hotter weights' summed gradients are
+        # scaled to cap online-updates' worth, which is what keeps the
+        # constant-rate power_t-0 configs from diverging at large batch).
+        # 'auto' enables it exactly where the summed form is unstable —
+        # AdaGrad scopes with power_t == 0, whose rate is a constant lr with
+        # no accumulator self-stabilization (the reference's own benchmark
+        # config, BENCHMARK.md: --adaptive --power_t 0.0). Identical at
+        # batch size 1 in every mode, so --fwt_exact parity is unaffected;
+        # --sgd configs are never touched by 'auto' (the bit-parity mode).
         self.precision = (
             jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
         )
@@ -217,9 +231,20 @@ class FwModel:
         self.topology = mi.nn_config.topology
 
         kind = _OPT_KIND[mi.optimizer]
-        self.opt_lr = ScopedOptimizer(kind, mi.learning_rate, mi.power_t, mi.init_acc_gradient)
+
+        def bm(power_t: float) -> bool:
+            if batch_mean_mode == "on":
+                return True
+            return (batch_mean_mode == "auto" and kind != OPT_SGD
+                    and float(power_t) == 0.0)
+
+        self.opt_lr = ScopedOptimizer(kind, mi.learning_rate, mi.power_t,
+                                      mi.init_acc_gradient,
+                                      batch_mean=bm(mi.power_t),
+                                      batch_cap=batch_cap)
         self.opt_ffm = ScopedOptimizer(
-            kind, mi.ffm_learning_rate, mi.ffm_power_t, mi.ffm_init_acc_gradient
+            kind, mi.ffm_learning_rate, mi.ffm_power_t, mi.ffm_init_acc_gradient,
+            batch_mean=bm(mi.ffm_power_t), batch_cap=batch_cap,
         )
         self.opt_nn = ScopedOptimizer(
             kind, mi.nn_learning_rate, mi.nn_power_t, mi.nn_init_acc_gradient

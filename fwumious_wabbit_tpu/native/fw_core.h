@@ -475,7 +475,7 @@ inline void read_float_ns(const RecView& view, int slot,
     out.push_back(bits_f32(rec[off + 1]));
 }
 
-inline void read_features(const Config& cfg, const uint32_t* rec,
+inline void read_features(const Config& cfg, const RecView& view,
                           const std::vector<int>& formats, int idx, int type,
                           Feats& out);
 
@@ -491,7 +491,7 @@ inline void fill_transform_seeds(TransformDef& t, int to_namespace_index) {
   for (int i = 0; i < 5; i++) t.seeds[i] = murmur3_32(quads[i], 4, seed);
 }
 
-inline void run_transform(const Config& cfg, const uint32_t* rec,
+inline void run_transform(const Config& cfg, const RecView& view,
                           const std::vector<int>& formats, int tidx,
                           Feats& out) {
   const TransformDef& t = cfg.transforms[tidx];
@@ -505,7 +505,7 @@ inline void run_transform(const Config& cfg, const uint32_t* rec,
       bool interp = t.kind == TransformDef::BinnerSqrt ||
                     t.kind == TransformDef::BinnerLog;
       std::vector<float> vals;
-      read_float_ns(rec, t.from[0], vals);
+      read_float_ns(view, t.from[0], vals);
       for (float v : vals) {
         if (v < t.p0) {
           emit_i32(t.seeds[0], trunc_f32_u32(v), 1.0, out);
@@ -524,8 +524,8 @@ inline void run_transform(const Config& cfg, const uint32_t* rec,
     case TransformDef::BinnerLogRatioPlain: {
       bool interp = t.kind == TransformDef::BinnerLogRatio;
       std::vector<float> v1s, v2s;
-      read_float_ns(rec, t.from[0], v1s);
-      read_float_ns(rec, t.from[1], v2s);
+      read_float_ns(view, t.from[0], v1s);
+      read_float_ns(view, t.from[1], v2s);
       for (float v1 : v1s)
         for (float v2 : v2s) {
           if (double(v2) + double(v1) < double(t.p0)) {
@@ -546,7 +546,7 @@ inline void run_transform(const Config& cfg, const uint32_t* rec,
     }
     case TransformDef::Weight: {
       Feats local;  // plain local: the source may itself be transformed
-      read_features(cfg, rec, formats, t.from[0], t.from_type[0], local);
+      read_features(cfg, view, formats, t.from[0], t.from_type[0], local);
       for (const auto& [h, v] : local)
         emit_i32(t.seeds[0], h, double(v) * double(t.p0), out);
       break;
@@ -555,7 +555,7 @@ inline void run_transform(const Config& cfg, const uint32_t* rec,
       // cartesian XOR-combine of 2..4 namespaces
       std::vector<Feats> parts(t.from.size());
       for (size_t i = 0; i < t.from.size(); i++)
-        read_features(cfg, rec, formats, t.from[i], t.from_type[i], parts[i]);
+        read_features(cfg, view, formats, t.from[i], t.from_type[i], parts[i]);
       // recursive cartesian, depth ≤ 4
       struct Rec {
         const std::vector<Feats>& parts;
@@ -575,14 +575,14 @@ inline void run_transform(const Config& cfg, const uint32_t* rec,
   }
 }
 
-inline void read_features(const Config& cfg, const uint32_t* rec,
+inline void read_features(const Config& cfg, const RecView& view,
                           const std::vector<int>& formats, int idx, int type,
                           Feats& out) {
   if (type == 1) {
-    run_transform(cfg, rec, formats, idx, out);
+    run_transform(cfg, view, formats, idx, out);
     return;
   }
-  read_primitive(rec, idx, formats[idx], out);
+  read_primitive(view, idx, formats[idx], out);
 }
 
 inline void translate_record(const Config& cfg, const uint32_t* rec,
@@ -596,14 +596,15 @@ inline void translate_record(const Config& cfg, const uint32_t* rec,
   sh.ffm_start.push_back(int32_t(sh.ffm_ids.size()));
 
   thread_local Feats feats, cur, nxt;
+  const RecView view{rec, nullptr};
 
   int combo_index = 0;
   for (const auto& combo : cfg.combos) {
     cur.clear();
-    read_features(cfg, rec, formats, combo.ns[0], combo.ns_type[0], cur);
+    read_features(cfg, view, formats, combo.ns[0], combo.ns_type[0], cur);
     for (size_t d = 1; d < combo.ns.size(); d++) {
       feats.clear();
-      read_features(cfg, rec, formats, combo.ns[d], combo.ns_type[d], feats);
+      read_features(cfg, view, formats, combo.ns[d], combo.ns_type[d], feats);
       nxt.clear();
       for (const auto& [h_acc, v_acc] : cur) {
         uint32_t half = h_acc * VOWPAL_FNV_PRIME;
@@ -630,7 +631,7 @@ inline void translate_record(const Config& cfg, const uint32_t* rec,
       for (size_t d = 0; d < field.ns.size(); d++) {
         if (ffm_primitive_only && field.ns_type[d] != 0) continue;
         feats.clear();
-        read_features(cfg, rec, formats, field.ns[d], field.ns_type[d], feats);
+        read_features(cfg, view, formats, field.ns[d], field.ns_type[d], feats);
         for (const auto& [h, v] : feats) {
           sh.ffm_ids.push_back(h & cfg.ffm_mask);
           sh.ffm_vals.push_back(v);

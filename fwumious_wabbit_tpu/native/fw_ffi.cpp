@@ -240,6 +240,44 @@ struct Model {
   bool has_nn = false;
   int topology = 1;  // 1/2/4/5
   int joined_width = 0;
+
+  // Partial-evaluation dependency sets (the 3-call serving cache): for each
+  // LR combo and each FFM (field, source) entry, the primitive namespaces it
+  // transitively reads (transforms resolved). A combo/entry must be
+  // recomputed per candidate iff the delta line declares one of them; all
+  // others reuse the context-time value.
+  std::vector<std::vector<char>> combo_prim;              // [combo][ns] 0/1
+  std::vector<std::vector<std::vector<char>>> field_prim; // [field][d][ns]
+
+  void resolve_prim(int idx, int type, std::vector<char>& mark) const {
+    if (type == 0) {
+      if (idx >= 0 && size_t(idx) < mark.size()) mark[idx] = 1;
+      return;
+    }
+    const TransformDef& t = cfg.transforms[idx];
+    for (size_t i = 0; i < t.from.size(); i++)
+      resolve_prim(t.from[i], t.from_type[i], mark);
+  }
+
+  void build_dependency_sets() {
+    combo_prim.clear();
+    for (const ComboDesc& c : cfg.combos) {
+      std::vector<char> mark(cfg.num_namespaces, 0);
+      for (size_t d = 0; d < c.ns.size(); d++)
+        resolve_prim(c.ns[d], c.ns_type[d], mark);
+      combo_prim.push_back(std::move(mark));
+    }
+    field_prim.clear();
+    for (const FfmFieldDesc& f : cfg.ffm_fields) {
+      std::vector<std::vector<char>> per_entry;
+      for (size_t d = 0; d < f.ns.size(); d++) {
+        std::vector<char> mark(cfg.num_namespaces, 0);
+        resolve_prim(f.ns[d], f.ns_type[d], mark);
+        per_entry.push_back(std::move(mark));
+      }
+      field_prim.push_back(std::move(per_entry));
+    }
+  }
 };
 
 int next_pow2(int n) {
@@ -529,6 +567,7 @@ Loaded load_model(const std::string& path) {
   }
 
   std::fclose(f);
+  model->build_dependency_sets();
   out.model = model;
   return out;
 }
@@ -537,19 +576,29 @@ Loaded load_model(const std::string& path) {
 // forward math (mirrors models/model.py predict path)
 // ---------------------------------------------------------------------------
 
+// True partial-evaluation context cache (reference: src/block_lr.rs:205-255,
+// src/block_ffm.rs:650-782, src/parser.rs:171-212 — and strictly stronger:
+// the reference re-parses + re-translates the WHOLE concatenated line per
+// candidate and skips work inside the blocks; here the context's parsed
+// RECORD, per-combo LR sums and contra tensor are cached, so a candidate
+// costs parse(delta) + the delta-dependent combos/entries + F²k dots +
+// tower — ~independent of context size.
 struct FfmCache {
   bool active = false;
+  std::vector<uint32_t> ctx_rec;  // the context's parsed packed record
   std::vector<float> contra;  // [F][F*k]  C[t][f*k..] = Σ_{a∈f} v_a·w_a→t
   std::vector<float> diag;    // [F] Σ_{a∈t} v_a²‖w_a→t‖²
-  std::set<std::tuple<uint32_t, uint32_t, int32_t>> present;  // (hash, v_bits, field)
-  std::string context;        // raw context line bytes (no newline)
-  std::vector<float> lr_partial;  // per-combo partial sums of context features
+  std::string context;        // raw context line bytes (no newline; fallback)
+  std::vector<float> lr_partial;  // per-combo context sums Σ w[h]·v (+const)
 };
 
 struct Predictor {
   std::shared_ptr<Model> model;
   Shard sh;  // scratch translation output
   FfmCache cache;
+  // per-predictor scratch (capacity retained across calls — the serving
+  // hot path must not allocate per candidate)
+  std::vector<float> sx, scontra, sdiag;
 
   const float* slab(uint32_t h) const {
     // the slab address quantization must mirror ops/tables.py gather():
@@ -578,21 +627,61 @@ struct Predictor {
     return true;
   }
 
-  // contra[t][f*k+kk] += v·w_a→t[kk] for one feature a in field f
+  // contra[t][f*k+kk] += sign·v·w_a→t[kk] for one feature a in field f
+  // (sign −1 retracts a context contribution the delta supersedes)
   void add_feature_to_contra(std::vector<float>& contra, std::vector<float>& diag,
-                             uint32_t h, float v, int field) const {
+                             uint32_t h, float v, int field,
+                             float sign = 1.0f) const {
     const Model& m = *model;
     int F = m.num_fields, k = m.ffm_k, Fk = F * k;
     const float* w = slab(h);
     for (int t = 0; t < F; t++) {
       float* row = contra.data() + size_t(t) * Fk + size_t(field) * k;
       const float* wt = w + size_t(t) * k;
-      for (int kk = 0; kk < k; kk++) row[kk] += v * wt[kk];
+      for (int kk = 0; kk < k; kk++) row[kk] += sign * v * wt[kk];
     }
     const float* wself = w + size_t(field) * k;
     float ss = 0;
     for (int kk = 0; kk < k; kk++) ss += wself[kk] * wself[kk];
-    diag[field] += v * v * ss;
+    diag[field] += sign * v * v * ss;
+  }
+
+  // Σ w[h & mask]·v·combo.weight over the combo's chained interaction
+  // features, read through ``view`` (the per-combo piece of
+  // translate_record + the LR gather, fw_core.h:582-601)
+  float combo_sum(const RecView& view, size_t combo_idx) const {
+    const Model& m = *model;
+    const ComboDesc& combo = m.cfg.combos[combo_idx];
+    thread_local Feats cur, feats, nxt;
+    cur.clear();
+    read_features(m.cfg, view, m.formats, combo.ns[0], combo.ns_type[0], cur);
+    for (size_t d = 1; d < combo.ns.size(); d++) {
+      feats.clear();
+      read_features(m.cfg, view, m.formats, combo.ns[d], combo.ns_type[d], feats);
+      nxt.clear();
+      for (const auto& [h_acc, v_acc] : cur) {
+        uint32_t half = h_acc * VOWPAL_FNV_PRIME;
+        for (const auto& [h, v] : feats) nxt.emplace_back(h ^ half, v_acc * v);
+      }
+      std::swap(cur, nxt);
+    }
+    float s = 0;
+    for (const auto& [h, v] : cur)
+      s += m.lr_w[h & m.cfg.lr_mask] * v * combo.weight;
+    return s;
+  }
+
+  // add (sign=+1) or retract (sign=−1) one FFM (field, source) entry's
+  // features into contra/diag, read through ``view``
+  void entry_contra(const RecView& view, int field, size_t d, float sign,
+                    std::vector<float>& contra, std::vector<float>& diag) const {
+    const Model& m = *model;
+    const FfmFieldDesc& f = m.cfg.ffm_fields[field];
+    thread_local Feats feats;
+    feats.clear();
+    read_features(m.cfg, view, m.formats, f.ns[d], f.ns_type[d], feats);
+    for (const auto& [h, v] : feats)
+      add_feature_to_contra(contra, diag, h & m.cfg.ffm_mask, v, field, sign);
   }
 
   // F×F interaction matrix → lower-triangle outputs appended to x
@@ -674,64 +763,126 @@ struct Predictor {
   float predict(const std::string& line) {
     if (!translate_line(line, false)) return -1.0f;
     const Model& m = *model;
-    std::vector<float> x(size_t(m.num_combos), 0.0f);
+    std::vector<float>& x = sx;
+    x.assign(size_t(m.num_combos), 0.0f);
     for (size_t i = 0; i < sh.lr_ids.size(); i++)
       x[sh.lr_combos[i]] += m.lr_w[sh.lr_ids[i]] * sh.lr_vals[i];
     if (m.ffm_k > 0 && m.num_fields > 0) {
       int F = m.num_fields, Fk = F * m.ffm_k;
-      std::vector<float> contra(size_t(F) * Fk, 0.0f), diag(F, 0.0f);
+      scontra.assign(size_t(F) * Fk, 0.0f);
+      sdiag.assign(size_t(F), 0.0f);
       for (size_t i = 0; i < sh.ffm_ids.size(); i++)
-        add_feature_to_contra(contra, diag, sh.ffm_ids[i], sh.ffm_vals[i],
+        add_feature_to_contra(scontra, sdiag, sh.ffm_ids[i], sh.ffm_vals[i],
                               sh.ffm_fields[i]);
-      triangle_outputs(contra, diag, x);
+      triangle_outputs(scontra, sdiag, x);
     }
     return finish(x);
   }
 
   float setup_cache(const std::string& line) {
     const Model& m = *model;
-    if (!translate_line(line, true)) return -1.0f;
-    cache.active = true;
+    cache.active = false;
+    // parse ONCE, keep the packed record — candidates never re-touch the
+    // context bytes (the reference re-parses the whole concatenated line
+    // per candidate, src/parser.rs:196-212; this is the stronger form)
+    std::vector<uint32_t> rec;
+    std::string err;
+    LineKind kind = parse_line(
+        m.cfg, reinterpret_cast<const uint8_t*>(line.data()), line.size(),
+        rec, err);
+    if (kind != LineKind::Example) return -1.0f;
+    cache.ctx_rec = std::move(rec);
     cache.context = line;
     while (!cache.context.empty() &&
            (cache.context.back() == '\n' || cache.context.back() == '\r'))
       cache.context.pop_back();
+
+    const RecView view{cache.ctx_rec.data(), nullptr};
+    // per-combo context sums (reference: block_lr.rs prepare_forward_cache)
+    cache.lr_partial.assign(size_t(m.num_combos), 0.0f);
+    for (size_t c = 0; c < m.cfg.combos.size(); c++)
+      cache.lr_partial[c] = combo_sum(view, c);
+    if (m.cfg.add_constant)
+      cache.lr_partial[m.cfg.combos.size()] =
+          m.lr_w[CONSTANT_HASH & m.cfg.lr_mask];
+
+    // full contra tensor of the context — including transformed namespaces
+    // (the reference caches primitive-only and re-adds the rest per
+    // candidate; here delta-dependent entries are retracted+recomputed via
+    // the dependency sets, so everything cacheable is cached)
     int F = m.num_fields, Fk = F * m.ffm_k;
     cache.contra.assign(size_t(F) * Fk, 0.0f);
     cache.diag.assign(size_t(F), 0.0f);
-    cache.present.clear();
-    for (size_t i = 0; i < sh.ffm_ids.size(); i++) {
-      add_feature_to_contra(cache.contra, cache.diag, sh.ffm_ids[i],
-                            sh.ffm_vals[i], sh.ffm_fields[i]);
-      cache.present.emplace(sh.ffm_ids[i], f32_bits(sh.ffm_vals[i]),
-                            sh.ffm_fields[i]);
-    }
+    for (int field = 0; field < F; field++)
+      for (size_t d = 0; d < m.cfg.ffm_fields[field].ns.size(); d++)
+        entry_contra(view, field, d, 1.0f, cache.contra, cache.diag);
+    cache.active = true;
     return 0.0f;
   }
 
   float predict_with_cache(const std::string& delta) {
     if (!cache.active) return predict(delta);
     const Model& m = *model;
-    // full line = cached context bytes + delta bytes (the reference appends
-    // the delta to the cached parse buffer, src/parser.rs:196-212)
-    std::string full = cache.context + delta;
-    if (!translate_line(full, false)) return -1.0f;
 
-    std::vector<float> x(size_t(m.num_combos), 0.0f);
-    for (size_t i = 0; i < sh.lr_ids.size(); i++)
-      x[sh.lr_combos[i]] += m.lr_w[sh.lr_ids[i]] * sh.lr_vals[i];
+    // the delta must be pure namespace declarations (" |B x ..."); anything
+    // else (labels, importance) would splice into the context's token
+    // stream under concatenation — fall back to the exact concat parse
+    size_t s = 0;
+    while (s < delta.size() && (delta[s] == ' ' || delta[s] == '\t')) s++;
+    size_t e = delta.size();
+    while (e > s && (delta[e - 1] == '\n' || delta[e - 1] == '\r')) e--;
+    if (s == e) {  // empty delta: the context alone
+      sx.assign(cache.lr_partial.begin(), cache.lr_partial.end());
+      if (m.ffm_k > 0 && m.num_fields > 0)
+        triangle_outputs(cache.contra, cache.diag, sx);
+      return finish(sx);
+    }
+    if (delta[s] != '|') {
+      std::string full = cache.context + delta;
+      return predict(full);
+    }
+
+    // parse ONLY the delta bytes (their own record; namespaces declared in
+    // the delta REPLACE the context's slots, matching concatenated-line
+    // parse semantics — see RecView in fw_core.h)
+    thread_local std::vector<uint32_t> drec;
+    drec.clear();
+    std::string err;
+    LineKind kind = parse_line(
+        m.cfg, reinterpret_cast<const uint8_t*>(delta.data() + s), e - s,
+        drec, err);
+    if (kind != LineKind::Example) return -1.0f;
+    const RecView view{cache.ctx_rec.data(), drec.data()};
+    const RecView ctx_view{cache.ctx_rec.data(), nullptr};
+
+    auto delta_present = [&](int ns) {
+      return drec[HEADER_LEN + ns] != NO_FEATURES;
+    };
+    auto dep_hit = [&](const std::vector<char>& mark) {
+      for (int ns = 0; ns < m.cfg.num_namespaces; ns++)
+        if (mark[ns] && delta_present(ns)) return true;
+      return false;
+    };
+
+    // LR: cached combo sums; recompute only delta-dependent combos
+    std::vector<float>& x = sx;
+    x.assign(cache.lr_partial.begin(), cache.lr_partial.end());
+    for (size_t c = 0; c < m.cfg.combos.size(); c++)
+      if (dep_hit(m.combo_prim[c])) x[c] = combo_sum(view, c);
 
     if (m.ffm_k > 0 && m.num_fields > 0) {
-      std::vector<float> contra = cache.contra;
-      std::vector<float> diag = cache.diag;
-      for (size_t i = 0; i < sh.ffm_ids.size(); i++) {
-        if (cache.present.count({sh.ffm_ids[i], f32_bits(sh.ffm_vals[i]),
-                                 sh.ffm_fields[i]}))
-          continue;
-        add_feature_to_contra(contra, diag, sh.ffm_ids[i], sh.ffm_vals[i],
-                              sh.ffm_fields[i]);
-      }
-      triangle_outputs(contra, diag, x);
+      scontra.assign(cache.contra.begin(), cache.contra.end());
+      sdiag.assign(cache.diag.begin(), cache.diag.end());
+      for (int field = 0; field < m.num_fields; field++)
+        for (size_t d = 0; d < m.cfg.ffm_fields[field].ns.size(); d++)
+          if (dep_hit(m.field_prim[field][d])) {
+            // retract the context-time contribution of this entry (usually
+            // empty: the delta namespace was absent at setup), then add the
+            // merged-view contribution
+            entry_contra(ctx_view, field, d, -1.0f, scontra, sdiag);
+            entry_contra(view, field, d, 1.0f, scontra, sdiag);
+          }
+      triangle_outputs(scontra, sdiag, x);
     }
     return finish(x);
   }

@@ -70,6 +70,13 @@ def _apply_local_rows(opt, w_local, acc_local, lrid, g):
     g², rate from the bumped acc, scatter-subtract. ``lrid`` must be in
     range; masked-out occurrences carry g == 0 (zero adds are no-ops and
     rate·0 == 0, flex_update zeroes the 0·inf corner)."""
+    if opt.batch_mean:
+        # capped per-weight multiplicity across the (gathered, global)
+        # batch — the same counts the single-device step sees, so
+        # trajectories stay equal
+        from ..ops.adagrad import batch_mean_grads
+
+        g = batch_mean_grads(w_local.shape[0], lrid, g, opt.batch_cap)
     if not opt.has_state:  # SGD
         return w_local.at[lrid].add(-opt.learning_rate * g), acc_local
     acc_new = acc_local.at[lrid].add(g * g)

@@ -208,7 +208,13 @@ def load_model(
 
     if immutable:
         mi.optimizer = Optimizer.SGD
-    model = FwModel(mi)
+    model = FwModel(
+        mi,
+        batch_mean_mode=(getattr(args, "fwt_batch_mean", "auto") or "auto")
+        if args is not None else "auto",
+        batch_cap=float(getattr(args, "fwt_batch_cap", 8.0) or 8.0)
+        if args is not None else 8.0,
+    )
     import jax.numpy as jnp
 
     from ..ops import tables

@@ -23,6 +23,7 @@ runtimes supervise the process instead).
 
 from __future__ import annotations
 
+import queue
 import socket
 import socketserver
 import threading
@@ -153,9 +154,50 @@ class _Handler(socketserver.StreamRequestHandler):
                 return
 
 
-class _ThreadedTCPServer(socketserver.ThreadingTCPServer):
+class _PooledTCPServer(socketserver.TCPServer):
+    """Fixed worker pool: the accept loop hands connections to
+    ``num_children`` worker threads through a bounded queue — the same
+    shape as the reference's accept → mpsc channel → WorkerThread design
+    (reference: src/serving.rs:231-253). The bounded queue is the
+    backpressure: under a connection flood the accept loop blocks once
+    ``2·num_children`` connections are waiting, and further clients queue in
+    the kernel backlog instead of spawning unbounded threads."""
+
     allow_reuse_address = True
-    daemon_threads = True
+    request_queue_size = 64  # listen(2) backlog
+
+    def __init__(self, addr, handler, num_children: int):
+        super().__init__(addr, handler)
+        self.num_children = max(1, int(num_children))
+        self._queue: queue.Queue = queue.Queue(maxsize=2 * self.num_children)
+        self._workers = [
+            threading.Thread(target=self._worker, daemon=True,
+                             name=f"fwt-serve-{i}")
+            for i in range(self.num_children)
+        ]
+        for t in self._workers:
+            t.start()
+
+    def process_request(self, request, client_address):
+        self._queue.put((request, client_address))  # blocks when full
+
+    def _worker(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            request, client_address = item
+            try:
+                self.finish_request(request, client_address)
+            except Exception:  # noqa: BLE001
+                self.handle_error(request, client_address)
+            finally:
+                self.shutdown_request(request)
+
+    def server_close(self):
+        super().server_close()
+        for _ in self._workers:
+            self._queue.put(None)
 
 
 class Serving:
@@ -182,9 +224,11 @@ class Serving:
         self._server = None
 
     def serve(self, host: str = "127.0.0.1") -> None:
-        self._server = _ThreadedTCPServer((host, self.port), _Handler)
+        self._server = _PooledTCPServer((host, self.port), _Handler,
+                                        self.num_children)
         self._server.fwt_serving = self  # type: ignore[attr-defined]
-        log.info("serving on %s:%d", host, self.port)
+        log.info("serving on %s:%d (%d workers)", host, self.port,
+                 self.num_children)
         try:
             self._server.serve_forever()
         except KeyboardInterrupt:
@@ -194,7 +238,8 @@ class Serving:
 
     def serve_in_background(self, host: str = "127.0.0.1") -> threading.Thread:
         """Start serving on a daemon thread (used by tests and embedders)."""
-        self._server = _ThreadedTCPServer((host, self.port), _Handler)
+        self._server = _PooledTCPServer((host, self.port), _Handler,
+                                        self.num_children)
         self._server.fwt_serving = self  # type: ignore[attr-defined]
         t = threading.Thread(target=self._server.serve_forever, daemon=True)
         t.start()

@@ -573,7 +573,11 @@ def main(argv=None) -> int:
             return 1
         vw = VwNamespaceMap.from_dataset_dir(args.data)
         mi = ModelInstance.from_cmdline(args, vw)
-        model = FwModel(mi)
+        model = FwModel(
+            mi,
+            batch_mean_mode=getattr(args, "fwt_batch_mean", "auto") or "auto",
+            batch_cap=float(getattr(args, "fwt_batch_cap", 8.0) or 8.0),
+        )
         params = None
 
     if args.build_cache_without_training:

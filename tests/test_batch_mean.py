@@ -1,0 +1,202 @@
+"""--fwt_batch_mean: per-weight averaging of per-example gradients across a
+batch (ops/adagrad.batch_mean_grads).
+
+Why it exists: the reference's own benchmark config (--adaptive --power_t
+0.0, reference BENCHMARK.md) has a CONSTANT AdaGrad rate — stable online
+(B=1) but divergent when a batch sums c ≈ B contributions to a popular
+weight. Averaging bounds every weight's per-step movement by one online
+update's, at any batch size, and is identical at B=1.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fwumious_wabbit_tpu.config.model_instance import (
+    FeatureComboDesc,
+    ModelInstance,
+    Optimizer,
+)
+from fwumious_wabbit_tpu.config.vwmap import NamespaceDescriptor
+from fwumious_wabbit_tpu.models.model import FwModel
+from fwumious_wabbit_tpu.ops import tables
+from fwumious_wabbit_tpu.ops.adagrad import (
+    OPT_ADAGRAD_LUT,
+    ScopedOptimizer,
+    batch_mean_grads,
+)
+from fwumious_wabbit_tpu.train.step import make_train_step
+
+
+def test_batch_mean_grads_per_lane_oracle():
+    """With cap=1 (pure mean): counts are per WEIGHT (lane), not per row —
+    two examples touching different lanes of the same row must not halve
+    each other."""
+    rid = np.array([0, 0, 0, 1], np.int32)
+    g = np.zeros((4, tables.LANE), np.float32)
+    g[0, 3] = 1.0   # example contribution to (row0, lane3)
+    g[1, 3] = 3.0   # second contribution to the SAME weight → c=2
+    g[2, 7] = 5.0   # different lane of row0 → c=1
+    g[3, 3] = 7.0   # different row → c=1
+    out = np.asarray(batch_mean_grads(8, jnp.asarray(rid), jnp.asarray(g), 1.0))
+    assert out[0, 3] == 0.5 and out[1, 3] == 1.5  # divided by 2
+    assert out[2, 7] == 5.0                        # untouched
+    assert out[3, 3] == 7.0
+    # scatter-sum after averaging = mean per weight
+    total = np.zeros((8, tables.LANE), np.float32)
+    np.add.at(total, rid, out)
+    assert total[0, 3] == 2.0  # (1+3)/2
+
+
+def test_cap_leaves_cold_weights_untouched():
+    """Default cap=8: weights with ≤8 contributing examples are bit-identical
+    to the summed form (FFM latent learning depends on this — counts there
+    are 2–7); hotter weights are scaled to cap/c."""
+    rid = np.asarray(np.zeros(12, np.int32))
+    g = np.zeros((12, tables.LANE), np.float32)
+    g[:, 0] = 1.0   # c=12 on (row0, lane0) → scale 8/12
+    g[:3, 1] = 2.0  # c=3 on lane1 → untouched
+    out = np.asarray(batch_mean_grads(4, jnp.asarray(rid), jnp.asarray(g), 8.0))
+    np.testing.assert_allclose(out[:, 0], 8.0 / 12.0, rtol=1e-6)
+    np.testing.assert_allclose(out[:3, 1], 2.0, rtol=0)
+
+
+def _model(power_t, mode, bits=12):
+    mi = ModelInstance()
+    mi.optimizer = Optimizer.ADAGRAD_LUT
+    mi.learning_rate = 0.1
+    mi.power_t = power_t
+    mi.init_acc_gradient = 0.0
+    mi.bit_precision = bits
+    mi.ffm_k = 0
+    mi.feature_combo_descs = [
+        FeatureComboDesc(namespace_descriptors=[NamespaceDescriptor(0)])
+    ]
+    return FwModel(mi, batch_mean_mode=mode)
+
+
+def _batch(ids, labels):
+    B = len(ids)
+    return {
+        "label": np.asarray(labels, np.float32),
+        "importance": np.ones(B, np.float32),
+        "lr_ids": np.asarray(ids, np.int32).reshape(B, 1),
+        "lr_vals": np.ones((B, 1), np.float32),
+        "lr_combos": np.zeros((B, 1), np.int32),
+        "ffm_ids": np.zeros((B, 0), np.int32),
+        "ffm_vals": np.zeros((B, 0), np.float32),
+        "ffm_fields": np.zeros((B, 0), np.int32),
+    }
+
+
+def test_identical_at_batch_size_one():
+    """At B=1 every mode gives the same trajectory (c == 1 always)."""
+    b = _batch([7], [1.0])
+    preds = {}
+    for mode in ("off", "on", "auto"):
+        model = _model(0.0, mode)
+        params = model.init_params()
+        step = make_train_step(model)
+        seq = []
+        for _ in range(3):
+            params, p = step(params, b)
+            seq.append(float(p[0]))
+        preds[mode] = seq
+    assert preds["off"] == preds["on"] == preds["auto"]
+
+
+def test_auto_resolution():
+    assert _model(0.0, "auto").opt_lr.batch_mean is True
+    assert _model(0.5, "auto").opt_lr.batch_mean is False
+    assert _model(0.5, "on").opt_lr.batch_mean is True
+    assert _model(0.0, "off").opt_lr.batch_mean is False
+    # --sgd is the bit-parity mode: never auto-averaged
+    mi = ModelInstance()
+    mi.optimizer = Optimizer.SGD
+    mi.power_t = 0.0
+    mi.ffm_k = 0
+    mi.feature_combo_descs = [
+        FeatureComboDesc(namespace_descriptors=[NamespaceDescriptor(0)])
+    ]
+    assert FwModel(mi, batch_mean_mode="auto").opt_lr.batch_mean is False
+
+
+def test_popular_weight_step_bounded():
+    """power_t 0, one weight hit by all 256 examples of a batch: the summed
+    form moves it by ≈ lr·256·0.5 = 12.8 (divergence territory); the capped
+    form by cap online updates' worth = 0.1·8·0.5 = 0.4."""
+    ids = [5] * 256
+    labels = [1.0] * 256
+    b = _batch(ids, labels)
+
+    model = _model(0.0, "off")
+    params = model.init_params()
+    step = make_train_step(model)
+    params, _ = step(params, b)
+    w_sum = float(np.asarray(params["lr_w"]).ravel()[5])
+
+    model = _model(0.0, "auto")
+    params = model.init_params()
+    step = make_train_step(model)
+    params, _ = step(params, b)
+    w_capped = float(np.asarray(params["lr_w"]).ravel()[5])
+
+    assert abs(w_sum) > 1.0             # summed: a wild step
+    assert abs(w_capped - 0.4) < 1e-5   # exactly lr·cap·g = 0.1·8·0.5
+
+
+def test_dedup_then_mean():
+    """Duplicates within one example are summed FIRST (dedup), then the
+    across-example mean (cap=1) divides by the number of EXAMPLES, not
+    occurrences."""
+    opt = ScopedOptimizer(OPT_ADAGRAD_LUT, 0.1, 0.0, 0.0, batch_mean=True,
+                          batch_cap=1.0)
+    w = jnp.zeros((4, tables.LANE), jnp.float32)
+    acc = jnp.zeros((4, tables.LANE), jnp.float32)
+    # 2 examples, width 2: example 0 contributes twice to (1, lane 0)
+    rid = jnp.asarray([1, 1, 1, 2], jnp.int32)
+    g = np.zeros((4, tables.LANE), np.float32)
+    g[0, 0] = 0.5
+    g[1, 0] = 0.25
+    g[2, 0] = 1.0
+    g[3, 5] = 1.0
+    rid_d, g_d = tables.dedup_rows(jnp.asarray(rid), jnp.asarray(g), batch=2)
+    w1, _ = opt.apply_rows(w, acc, rid_d, g_d)
+    # weight (1,0): examples contribute 0.75 (summed within ex0) and 1.0 →
+    # mean 0.875 → w -= 0.1·0.875
+    assert abs(float(w1[1, 0]) + 0.0875) < 1e-6, float(w1[1, 0])
+
+
+@pytest.mark.parametrize("exchange", ["psum", "a2a"])
+def test_sharded_matches_single_device_with_batch_mean(exchange):
+    """The sharded steps compute the same per-weight counts as the
+    single-device step (gathered/global batch), so trajectories match."""
+    import jax
+
+    from fwumious_wabbit_tpu.parallel import mesh as pmesh
+    from fwumious_wabbit_tpu.parallel.sharded import make_sharded_train_step
+    from tests.test_sharded import build_model, make_batch
+
+    model = build_model(Optimizer.ADAGRAD_LUT)
+    # force power_t 0 + batch_mean on all sparse scopes
+    model.opt_lr.power_t = 0.0
+    model.opt_ffm.power_t = 0.0
+    model.opt_lr.batch_mean = True
+    model.opt_ffm.batch_mean = True
+    batch = make_batch(model, B=32)
+
+    ref1, ref_preds = make_train_step(model)(model.init_params(), batch)
+
+    mesh = pmesh.make_mesh(n_data=4, n_table=2, devices=jax.devices()[:8])
+    params = pmesh.pad_params_for_mesh(model, model.init_params(), mesh)
+    params = pmesh.shard_params(params, pmesh.param_sharding(mesh, params))
+    sbatch = pmesh.shard_batch(batch, mesh, both_axes=(exchange == "a2a"))
+    step = make_sharded_train_step(model, mesh, exchange=exchange)
+    new_params, preds = step(params, sbatch)
+    np.testing.assert_allclose(np.asarray(preds), np.asarray(ref_preds),
+                               rtol=1e-6, atol=1e-7)
+    for key in ("lr_w", "ffm_w", "lr_acc", "ffm_acc"):
+        got, want = np.asarray(new_params[key]), np.asarray(ref1[key])
+        np.testing.assert_allclose(got[: want.shape[0]], want,
+                                   rtol=1e-5, atol=1e-7)

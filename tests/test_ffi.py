@@ -200,6 +200,74 @@ def test_ffi_cache_with_transforms(tmp_path):
     pred.close()
 
 
+def test_ffi_cache_namespace_replacement(tmp_path):
+    """A delta that re-declares a namespace already present in the context
+    REPLACES that namespace (concatenated-line parse semantics: a later
+    declaration overwrites the slot) — the cache path must match the full
+    concat parse exactly."""
+    path, _mi, _vw = trained_model(tmp_path)
+    pred = native.EmbeddedPredictor(f"-i {path}")
+    context = b"1 |A cat mouse |C ctx1"
+    deltas = [
+        b" |A wolf |B milk\n",       # replaces A
+        b" |C ctx9 |B bone\n",       # replaces C
+        b" |A horse |C ctx2 |B hay\n",  # replaces both
+    ]
+    pred.setup_cache(context + b"\n")
+    for delta in deltas:
+        full = pred.predict(context + delta)
+        cached = pred.predict_with_cache(delta)
+        assert abs(full - cached) < 1e-6, (delta, full, cached)
+    pred.close()
+
+
+def test_ffi_cache_amortization_speed(tmp_path):
+    """The point of the 3-call cache: with a wide context and a 1-feature
+    delta, fw_predict_with_cache must be ≥2× fw_predict on the concatenated
+    line (the per-candidate cost is ~independent of context size: only the
+    delta is parsed and only delta-dependent combos/entries recompute)."""
+    import time
+
+    (tmp_path / "vw_namespace_map.csv").write_text("A,animal\nB,food\nC,ctx\n")
+    vw = VwNamespaceMap.from_dataset_dir(str(tmp_path / "data.vw"))
+    args = build_parser().parse_args(
+        ["--keep", "A", "--keep", "B", "--keep", "C", "--interactions", "AB",
+         "--interactions", "AC", "--ffm_k", "8",
+         "--ffm_field", "A", "--ffm_field", "B", "--ffm_field", "C",
+         "-b", "22", "--ffm_bit_precision", "22", "--adaptive",
+         "-l", "0.1", "--data", "x"]
+    )
+    mi = ModelInstance.from_cmdline(args, vw)
+    model = FwModel(mi)
+    path = tmp_path / "wide.fwt"
+    model_file.save_model(path, mi, vw, model, model.init_params())
+
+    # 20-feature context, 1-feature delta (the VERDICT r1 benchmark shape)
+    ctx_feats = " ".join(f"c{i}" for i in range(10))
+    a_feats = " ".join(f"a{i}" for i in range(10))
+    context = f"1 |A {a_feats} |C {ctx_feats}".encode()
+    delta = b" |B candidate\n"
+
+    pred = native.EmbeddedPredictor(f"-i {path}")
+    pred.setup_cache(context + b"\n")
+    full_line = context + delta
+    # warm up + parity
+    assert abs(pred.predict(full_line) - pred.predict_with_cache(delta)) < 1e-6
+
+    n = 2000
+    t0 = time.perf_counter()
+    for _ in range(n):
+        pred.predict(full_line)
+    t_full = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n):
+        pred.predict_with_cache(delta)
+    t_cache = time.perf_counter() - t0
+    pred.close()
+    ratio = t_full / t_cache
+    assert ratio >= 2.0, f"cache speedup only {ratio:.2f}x ({t_full:.3f}s vs {t_cache:.3f}s)"
+
+
 def test_ffi_error_paths(tmp_path):
     with pytest.raises(RuntimeError):
         native.EmbeddedPredictor("-i /nonexistent/model.fwt")

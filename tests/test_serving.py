@@ -47,15 +47,14 @@ def build(tmp_path, train_steps=0):
     return args, mi, vw, model, params, mpath
 
 
-def start_server(args, mi, vw, model, params):
+def start_server(args, mi, vw, model, params, num_children=10):
     srv = Serving(args, mi, vw, model, params)
     srv.port = 0  # pick an ephemeral port
     # bind manually to learn the port
-    import socketserver
-
     from fwumious_wabbit_tpu.serve import server as server_mod
 
-    s = server_mod._ThreadedTCPServer(("127.0.0.1", 0), server_mod._Handler)
+    s = server_mod._PooledTCPServer(("127.0.0.1", 0), server_mod._Handler,
+                                    num_children)
     s.fwt_serving = srv
     srv._server = s
     import threading
@@ -76,6 +75,10 @@ class Client:
         return self.fh.readline()
 
     def close(self):
+        # close the makefile handle too: it holds the socket's _io_refs, so
+        # closing only the socket never sends FIN (and a pooled worker would
+        # wait on readline forever)
+        self.fh.close()
         self.sock.close()
 
 
@@ -141,7 +144,7 @@ def test_native_engine_serving(tmp_path):
 
     from fwumious_wabbit_tpu.serve import server as server_mod
 
-    s = server_mod._ThreadedTCPServer(("127.0.0.1", 0), server_mod._Handler)
+    s = server_mod._PooledTCPServer(("127.0.0.1", 0), server_mod._Handler, 10)
     s.fwt_serving = srv
     srv._server = s
     threading.Thread(target=s.serve_forever, daemon=True).start()
@@ -192,18 +195,21 @@ def test_native_engine_soak_under_hot_swap(tmp_path):
     mpath.rename(m0)
     _, _, _, _, _p, m1 = build(tmp_path, train_steps=3)
     srv = Serving(args, mi, vw, model, params, model_path=m0)
-    s = server_mod._ThreadedTCPServer(("127.0.0.1", 0), server_mod._Handler)
+    s = server_mod._PooledTCPServer(("127.0.0.1", 0), server_mod._Handler, 10)
     s.fwt_serving = srv
     srv._server = s
     threading.Thread(target=s.serve_forever, daemon=True).start()
     port = s.server_address[1]
     errors = []
+    latencies = []  # per-request seconds, all clients (list.append is atomic)
 
     def client(k):
         try:
             c = Client(port)
             for i in range(200):
+                t0 = time.perf_counter()
                 out = c.send(f"|A a{k}_{i} |B b{i}\n".encode())
+                latencies.append(time.perf_counter() - t0)
                 v = float(out)
                 assert 0.0 <= v <= 1.0
             c.close()
@@ -229,6 +235,43 @@ def test_native_engine_soak_under_hot_swap(tmp_path):
         t.join(timeout=60)
     srv.shutdown()
     assert not errors, errors
+    # latency percentiles under concurrency + live swaps (the reference
+    # publishes no serving percentiles — BENCHMARK.md omits them)
+    lat = np.sort(np.asarray(latencies))
+    p50 = lat[int(0.50 * (len(lat) - 1))]
+    p99 = lat[int(0.99 * (len(lat) - 1))]
+    print(f"soak latency: n={len(lat)} p50={p50 * 1e6:.0f}us "
+          f"p99={p99 * 1e6:.0f}us max={lat[-1] * 1e6:.0f}us")
+    assert p99 < 0.5, f"p99 latency {p99:.3f}s"
+
+
+def test_num_children_pool_is_bounded(tmp_path):
+    """--num_children must cap the worker thread count: with a pool of 2,
+    many sequential connections are all served and no per-connection threads
+    accumulate (the round-1 server spawned one thread per connection;
+    reference uses a fixed pool, src/serving.rs:231-241)."""
+    import threading
+
+    args, mi, vw, model, params, _ = build(tmp_path)
+    srv, port = start_server(args, mi, vw, model, params, num_children=2)
+    try:
+        names = {t.name for t in threading.enumerate()}
+        assert sum(1 for n in names if n.startswith("fwt-serve-")) == 2
+        before = threading.active_count()
+        for k in range(12):
+            c = Client(port)
+            out = c.send(f"|A a{k} |B b{k}\n".encode())
+            assert 0.0 <= float(out) <= 1.0
+            c.close()
+        assert threading.active_count() <= before + 1  # no thread growth
+        # two concurrent persistent clients saturate the pool; both served
+        c1, c2 = Client(port), Client(port)
+        assert 0.0 <= float(c1.send(b"|A x |B y\n")) <= 1.0
+        assert 0.0 <= float(c2.send(b"|A p |B q\n")) <= 1.0
+        c1.close()
+        c2.close()
+    finally:
+        srv.shutdown()
 
 
 def test_hogwild_load_hot_swap(tmp_path):
