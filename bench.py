@@ -298,8 +298,13 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     }
 
 
-def bench_device_step() -> dict:
-    """FFM train-step device throughput (kernel-level metric)."""
+def bench_device_step(bits: int = 25) -> dict:
+    """FFM train-step device throughput (kernel-level metric).
+
+    ``--bits 29`` reproduces the BASELINE config-4 table scale, where the
+    Pallas sparse-update kernel auto-dispatches (stable ~665k ex/s/chip
+    where the XLA path swings 452k-1.03M run to run; see
+    fwumious_wabbit_tpu/ops/pallas/SPARSE_UPDATE_NOTES.md)."""
     import jax
 
     from fwumious_wabbit_tpu.config.model_instance import (
@@ -316,8 +321,8 @@ def bench_device_step() -> dict:
     mi.power_t = 0.5
     mi.ffm_learning_rate = 0.1
     mi.ffm_power_t = 0.5
-    mi.bit_precision = 25
-    mi.ffm_bit_precision = 25
+    mi.bit_precision = min(bits, 25)
+    mi.ffm_bit_precision = bits
     mi.ffm_k = 8
     mi.init_acc_gradient = 0.0
     mi.ffm_init_acc_gradient = 0.0
@@ -358,7 +363,8 @@ def bench_device_step() -> dict:
     elapsed = time.perf_counter() - t0
     ex_s = steps * B / elapsed
     return {
-        "metric": "examples/s/chip (FFM k=8 train step, Eat-Rate schema, B=32768)",
+        "metric": f"examples/s/chip (FFM k=8 train step, 2^{bits} table, "
+                  f"Eat-Rate schema, B=32768)",
         "value": round(ex_s, 1),
         "unit": "examples/s",
         "vs_baseline": round(ex_s / BASELINE, 3),
@@ -374,7 +380,10 @@ def main():
     if "--rows" in sys.argv:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
     if "--device-step" in sys.argv:
-        print(json.dumps(bench_device_step()))
+        bits = 25
+        if "--bits" in sys.argv:
+            bits = int(sys.argv[sys.argv.index("--bits") + 1])
+        print(json.dumps(bench_device_step(bits)))
         return
     print(json.dumps(bench_end_to_end(rows, force_cpu="--cpu" in sys.argv)))
 

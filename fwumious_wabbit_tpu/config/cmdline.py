@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "scopes with power_t 0, whose constant rate makes "
                         "the summed form diverge at large batch. Identical "
                         "at batch size 1 in every mode")
+    g.add_argument("--fwt_pallas_update", choices=["off", "on", "auto"],
+                   default="auto",
+                   help="Route sparse AdaGrad updates through the Pallas "
+                        "table-sweep kernel (1.4-11x the XLA scatter for "
+                        "tables >= 2^26 on v5e); 'auto' applies its measured "
+                        "size/density rule")
     g.add_argument("--fwt_batch_cap", type=float, default=8.0,
                    help="Multiplicity cap for --fwt_batch_mean (1.0 = pure "
                         "per-weight mean)")

@@ -193,7 +193,8 @@ class FwModel:
     """
 
     def __init__(self, mi: ModelInstance, precision: str = "highest",
-                 batch_mean_mode: str = "auto", batch_cap: float = 8.0):
+                 batch_mean_mode: str = "auto", batch_cap: float = 8.0,
+                 pallas_update: str = "auto"):
         # precision: 'highest' = full f32 contractions (parity with the f32
         # reference); 'default' = TPU-native bf16 MXU inputs with f32
         # accumulation (throughput mode; statistical parity only).
@@ -241,10 +242,12 @@ class FwModel:
         self.opt_lr = ScopedOptimizer(kind, mi.learning_rate, mi.power_t,
                                       mi.init_acc_gradient,
                                       batch_mean=bm(mi.power_t),
-                                      batch_cap=batch_cap)
+                                      batch_cap=batch_cap,
+                                      pallas_mode=pallas_update)
         self.opt_ffm = ScopedOptimizer(
             kind, mi.ffm_learning_rate, mi.ffm_power_t, mi.ffm_init_acc_gradient,
             batch_mean=bm(mi.ffm_power_t), batch_cap=batch_cap,
+            pallas_mode=pallas_update,
         )
         self.opt_nn = ScopedOptimizer(
             kind, mi.nn_learning_rate, mi.nn_power_t, mi.nn_init_acc_gradient

@@ -85,6 +85,17 @@ def make_spec(logical_size: int, slab: int) -> TableSpec:
         align = round_up(slab, LANE)
         rows_per_slab = align // LANE
     padded = round_up(max(logical_size, align), LANE * rows_per_slab)
+    if padded // LANE > 2048:
+        # large tables: pad the row count to a multiple of the Pallas
+        # sparse-update sweep chunk (2048 rows) so the kernel's equal-size
+        # grid applies (ops/pallas/sparse_update.py). The reference-format
+        # guard band (2^b + F·k weights) otherwise leaves an odd row count.
+        # ≤ 1 MB of extra zero rows; invisible to persistence (to_flat trims
+        # to logical_size).
+        import math
+
+        unit = LANE * math.lcm(rows_per_slab, 2048)
+        padded = round_up(padded, unit)
     return TableSpec(logical_size, slab, align, rows_per_slab, padded)
 
 

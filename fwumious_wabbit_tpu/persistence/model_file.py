@@ -214,6 +214,8 @@ def load_model(
         if args is not None else "auto",
         batch_cap=float(getattr(args, "fwt_batch_cap", 8.0) or 8.0)
         if args is not None else 8.0,
+        pallas_update=(getattr(args, "fwt_pallas_update", "auto") or "auto")
+        if args is not None else "auto",
     )
     import jax.numpy as jnp
 

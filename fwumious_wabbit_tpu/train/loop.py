@@ -577,6 +577,7 @@ def main(argv=None) -> int:
             mi,
             batch_mean_mode=getattr(args, "fwt_batch_mean", "auto") or "auto",
             batch_cap=float(getattr(args, "fwt_batch_cap", 8.0) or 8.0),
+            pallas_update=getattr(args, "fwt_pallas_update", "auto") or "auto",
         )
         params = None
 
