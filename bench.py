@@ -182,11 +182,23 @@ def bench_decomposition(rows: int) -> dict:
     step_s = time.perf_counter() - t0
     step_ex_s = steps * 32768 / step_s
 
+    # round-trip floor of this environment: one trivial device call +
+    # result fetch (the axon tunnel adds per-call RPC latency that bounds
+    # ALL the device-side rates above; see CLAUDE.md / round-1 notes)
+    tiny = jax.device_put(np.ones(8, np.float32))
+    tinyf = jax.jit(lambda x: x + 1.0)
+    _ = float(tinyf(tiny)[0])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _ = float(tinyf(tiny)[0])
+    rt_ms = (time.perf_counter() - t0) / 10 * 1e3
+
     out = {
         "ingest_ex_s": round(ingest_ex_s),
         "transfer_ex_s": round(transfer_ex_s),
         "transfer_mb_s": round(transfer_mb_s, 1),
         "step_ex_s": round(step_ex_s),
+        "device_roundtrip_ms": round(rt_ms, 2),
         "batch_bytes": batch_bytes,
     }
     bottleneck = min(("ingest", ingest_ex_s), ("transfer", transfer_ex_s),
@@ -194,7 +206,8 @@ def bench_decomposition(rows: int) -> dict:
     out["bottleneck"] = bottleneck[0]
     print(f"# decomposition: ingest {ingest_ex_s:,.0f}/s, transfer "
           f"{transfer_ex_s:,.0f}/s ({transfer_mb_s:.0f} MB/s), step "
-          f"{step_ex_s:,.0f}/s → bottleneck: {bottleneck[0]}", file=sys.stderr)
+          f"{step_ex_s:,.0f}/s, device round-trip {rt_ms:.1f} ms → "
+          f"bottleneck: {bottleneck[0]}", file=sys.stderr)
     return out
 
 
@@ -286,6 +299,14 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         extras["decomposition"] = bench_decomposition(rows)
     except Exception as e:  # noqa: BLE001 — decomposition is diagnostic
         print(f"# decomposition failed: {e}", file=sys.stderr)
+
+    if result["elapsed"] <= 45.0:
+        try:
+            extras["device_step_ex_s"] = bench_device_step()["value"]
+            print(f"# device step (2^25 FFM): {extras['device_step_ex_s']:,.0f} ex/s",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# device-step failed: {e}", file=sys.stderr)
 
     extras["peak_rss_mb"] = peak_rss_mb()
     return {

@@ -22,6 +22,7 @@ the reference's per-example trajectory exactly.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -387,7 +388,12 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     # the host keeps parsing/translating while the device trains (JAX
     # dispatch is async; materializing preds is the only sync point)
     inflight: list = []  # (preds_devicearray, first_num, n)
-    PIPELINE_DEPTH = 3
+    # deferred prediction fetches: at most depth·batch f32 predictions in
+    # flight while the host keeps parsing and the device training.
+    # FWT_PIPELINE_DEPTH tunes it for high-latency links (A/B on the axon
+    # tunnel measured depth 3/8 and batch 32k/64k within noise — the link
+    # itself dominates; see bench.py's decomposition)
+    PIPELINE_DEPTH = int(os.environ.get("FWT_PIPELINE_DEPTH", "3"))
 
     def drain(limit: int) -> None:
         while len(inflight) > limit:
