@@ -80,7 +80,10 @@ def batch_sharding(mesh: Mesh, batch: dict, both_axes: bool = False) -> dict:
 
 def pad_params_for_mesh(model, params: dict, mesh: Mesh) -> dict:
     """Pad table *row* counts to a multiple of the table-axis size (rows
-    beyond the hash range are never addressed — masked hashes are < 2^bits)."""
+    beyond the hash range are never addressed — masked hashes are < 2^bits).
+    Large tables pad so each SHARD is also a multiple of the Pallas
+    sparse-update sweep chunk (2048 rows), keeping the kernel eligible
+    per shard (ops/pallas/sparse_update.py)."""
     n_table = mesh.shape[TABLE_AXIS]
     if n_table == 1:
         return params
@@ -90,7 +93,8 @@ def pad_params_for_mesh(model, params: dict, mesh: Mesh) -> dict:
     for key in ("lr_w", "lr_acc", "ffm_w", "ffm_acc"):
         if key in out:
             rows = out[key].shape[0]
-            target = round_up(rows, n_table)
+            unit = n_table * 2048 if rows >= n_table * 2048 else n_table
+            target = round_up(rows, unit)
             if target != rows:
                 out[key] = jnp.concatenate(
                     [out[key],

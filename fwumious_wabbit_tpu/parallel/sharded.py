@@ -77,6 +77,18 @@ def _apply_local_rows(opt, w_local, acc_local, lrid, g):
         from ..ops.adagrad import batch_mean_grads
 
         g = batch_mean_grads(w_local.shape[0], lrid, g, opt.batch_cap)
+    if opt._use_pallas(w_local.shape[0], lrid.shape[0]):
+        # per-shard table-sweep kernel (ops/pallas/sparse_update.py) —
+        # masked-out occurrences carry g == 0 and in-range clipped ids, so
+        # they are inert in the kernel exactly as in the scatter path
+        from ..ops.pallas.sparse_update import sparse_adagrad_update
+
+        w2, acc2 = sparse_adagrad_update(
+            w_local, acc_local if opt.has_state else None, lrid, g,
+            opt.learning_rate, opt.power_t, opt.initial_acc_gradient,
+            kind=opt.kind,
+        )
+        return w2, (acc2 if opt.has_state else acc_local)
     if not opt.has_state:  # SGD
         return w_local.at[lrid].add(-opt.learning_rate * g), acc_local
     acc_new = acc_local.at[lrid].add(g * g)

@@ -500,6 +500,25 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     return {"params": params, "examples": example_num, "elapsed": elapsed}
 
 
+def _daemonize() -> None:
+    """Classic double-fork daemonization (the reference daemonizes unless
+    --foreground, src/serving.rs:215-225): detach from the controlling
+    terminal and session; stdio to /dev/null. Must run before any JAX
+    backend initialization."""
+    if os.fork() > 0:
+        os._exit(0)  # first parent exits; the CLI caller returns
+    os.setsid()
+    if os.fork() > 0:
+        os._exit(0)  # session leader exits; grandchild serves
+    devnull = os.open(os.devnull, os.O_RDWR)
+    for fd in (0, 1, 2):
+        try:
+            os.dup2(devnull, fd)
+        except OSError:
+            pass
+    os.close(devnull)
+
+
 def main(argv=None) -> int:
     import logging
 
@@ -540,11 +559,16 @@ def main(argv=None) -> int:
 
     # -- daemon mode --------------------------------------------------------
     if args.daemon:
-        from ..serve.server import Serving
-
         if not args.initial_regressor:
             log.error("Daemon mode only supports serving from --initial_regressor")
             return 1
+        if not getattr(args, "foreground", False):
+            # detach BEFORE loading the model: forking after a JAX backend
+            # (or its client threads) initializes is unsafe
+            # (reference daemonizes the same way, src/serving.rs:215-225)
+            _daemonize()
+        from ..serve.server import Serving
+
         mi, vw, model, params = model_file.load_model(
             args.initial_regressor, immutable=True, args=args
         )

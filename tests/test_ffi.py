@@ -254,15 +254,19 @@ def test_ffi_cache_amortization_speed(tmp_path):
     # warm up + parity
     assert abs(pred.predict(full_line) - pred.predict_with_cache(delta)) < 1e-6
 
+    # best of 3 passes per side: the suite runs on one contended core and a
+    # single pass can be preempted mid-loop
     n = 2000
-    t0 = time.perf_counter()
-    for _ in range(n):
-        pred.predict(full_line)
-    t_full = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(n):
-        pred.predict_with_cache(delta)
-    t_cache = time.perf_counter() - t0
+    t_full = t_cache = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            pred.predict(full_line)
+        t_full = min(t_full, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            pred.predict_with_cache(delta)
+        t_cache = min(t_cache, time.perf_counter() - t0)
     pred.close()
     ratio = t_full / t_cache
     assert ratio >= 2.0, f"cache speedup only {ratio:.2f}x ({t_full:.3f}s vs {t_cache:.3f}s)"
