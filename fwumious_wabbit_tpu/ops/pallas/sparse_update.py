@@ -113,6 +113,7 @@ def _kernel(kind, lr, power_t, iag, chunk, *refs):
         (w_ref, acc_ref, packed_hbm, w_out, acc_out,
          gsum_ref, gsq_ref, tile_ref, sem) = refs[1:]
     c = pl.program_id(0)
+    n = pl.num_programs(0)
     lo = starts_ref[c]
     hi = starts_ref[c + 1]
     base = c * chunk
@@ -124,13 +125,47 @@ def _kernel(kind, lr, power_t, iag, chunk, *refs):
         jnp.float32)
     base_f = jnp.float32(1.0) * base  # ids are exact f32 (< 2^24)
 
+    # -- cross-chunk tile prefetch (double buffer) --------------------------
+    # Most nonempty chunks consume exactly one update tile; waiting for its
+    # DMA serialized ~11 µs per chunk against the (auto-pipelined) table
+    # stream. Invariant: on entry to a NONEMPTY chunk c, slot c%2 already
+    # holds its first tile (started by chunk c−1, or by the c==0 warmup);
+    # each chunk starts the next nonempty chunk's first tile before
+    # consuming its own. Extra tiles (rare) stream through the same slot
+    # serially. Scratch: tile_ref [2, T, 256], sem [2].
+    def start_tile0(cc, slot):
+        lo2 = starts_ref[cc]
+        k0 = pl.multiple_of((lo2 // UPD_TILE) * UPD_TILE, UPD_TILE)
+        pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(k0, UPD_TILE), :], tile_ref.at[slot],
+            sem.at[slot]).start()
+
+    @pl.when((c == 0) & (hi > lo))
+    def _():
+        start_tile0(0, 0)
+
+    nxt = jnp.minimum(c + 1, n - 1)
+    lo_n = starts_ref[nxt]
+    hi_n = starts_ref[nxt + 1]
+
+    @pl.when((c + 1 < n) & (hi_n > lo_n))
+    def _():
+        start_tile0(nxt, (c + 1) % 2)
+
+    slot = c % 2
+
     def tile_body(i, _):
         k0 = pl.multiple_of((lo // UPD_TILE + i) * UPD_TILE, UPD_TILE)
         dma = pltpu.make_async_copy(
-            packed_hbm.at[pl.ds(k0, UPD_TILE), :], tile_ref, sem)
-        dma.start()
+            packed_hbm.at[pl.ds(k0, UPD_TILE), :], tile_ref.at[slot],
+            sem.at[slot])
+
+        @pl.when(i > 0)  # tile 0's DMA was started by the predecessor
+        def _():
+            dma.start()
+
         dma.wait()
-        tile = tile_ref[:]
+        tile = tile_ref[slot]
         g = tile[:, :LANE]
         ids = jnp.max(tile[:, LANE:], axis=1, keepdims=True)  # [T, 1] f32
         rows = ids - base_f
@@ -236,8 +271,8 @@ def sparse_adagrad_update(w, acc, rid, grows, lr, power_t, iag,
     scratch = [
         pltpu.VMEM((chunk, LANE), jnp.float32),       # Σg
         pltpu.VMEM((chunk, LANE), jnp.float32),       # Σg²
-        pltpu.VMEM((UPD_TILE, 2 * LANE), jnp.float32),  # packed tile
-        pltpu.SemaphoreType.DMA,
+        pltpu.VMEM((2, UPD_TILE, 2 * LANE), jnp.float32),  # tile slots
+        pltpu.SemaphoreType.DMA((2,)),
     ]
     kernel = functools.partial(_kernel, kind, float(lr), float(power_t),
                                float(iag), chunk)
