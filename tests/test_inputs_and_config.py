@@ -113,3 +113,27 @@ def test_quantized_convert_cli_roundtrip(tmp_path):
     pq = np.array([float(x) for x in (tmp_path / "pq.out").read_text().split()])
     assert len(pf) == 200
     np.testing.assert_allclose(pq, pf, atol=5e-3)
+
+
+def test_fwt_profile_writes_trace(tmp_path):
+    """--fwt_profile wraps the run in a jax.profiler trace and leaves the
+    artifact on disk (the aux tracing subsystem, SURVEY §5)."""
+    from fwumious_wabbit_tpu.train.loop import main as cli_main
+
+    (tmp_path / "vw_namespace_map.csv").write_text("A,a\nB,b\n")
+    lines = "".join(
+        f"{1 if i % 2 else -1} |A a{i % 5} |B b{i % 3}\n" for i in range(64)
+    )
+    (tmp_path / "d.vw").write_text(lines)
+    prof = tmp_path / "prof"
+    rc = cli_main([
+        "--data", str(tmp_path / "d.vw"), "--keep", "A", "--keep", "B",
+        "-b", "18", "--adaptive", "-l", "0.1",
+        "--fwt_platform", "cpu", "--fwt_batch_size", "32",
+        "--fwt_profile", str(prof),
+        "-p", str(tmp_path / "p.out"),
+    ])
+    assert rc == 0
+    # a plugins/profile/<ts>/ tree with at least one trace artifact
+    artifacts = list(prof.rglob("*"))
+    assert any(p.is_file() for p in artifacts), artifacts
