@@ -254,3 +254,28 @@ def test_a2a_comm_volume_shrinks_with_table_axis():
     )
     assert est(8, "a2a") < est(4, "a2a") < est(2, "a2a")
     assert est(8, "psum") > est(2, "psum")
+
+
+@pytest.mark.parametrize("exchange", ["psum", "a2a"])
+def test_multi_row_slabs_sharded(exchange):
+    """FFM slabs wider than one row (F·k > 128 → rows_per_slab > 1): the
+    sharded gathers/updates move multiple consecutive rows per lookup and
+    must still match the single-device trajectory."""
+    model = build_model(Optimizer.ADAGRAD_LUT, k=64, fields=3, bits=16)
+    assert model.ffm_spec.rows_per_slab > 1  # 3·64 = 192 → 2 rows/slab
+    batch = make_batch(model, B=16)
+    ref1, ref_preds = make_train_step(model)(model.init_params(), batch)
+
+    mesh = pmesh.make_mesh(n_data=4, n_table=2, devices=jax.devices()[:8])
+    params = pmesh.pad_params_for_mesh(model, model.init_params(), mesh)
+    params = pmesh.shard_params(params, pmesh.param_sharding(mesh, params))
+    sbatch = pmesh.shard_batch(batch, mesh, both_axes=(exchange == "a2a"))
+    step = make_sharded_train_step(model, mesh, exchange=exchange,
+                                   capacity_factor=8.0)
+    new_params, preds = step(params, sbatch)
+    np.testing.assert_allclose(np.asarray(preds), np.asarray(ref_preds),
+                               rtol=1e-6, atol=1e-7)
+    for key in ("lr_w", "ffm_w", "ffm_acc"):
+        got, want = np.asarray(new_params[key]), np.asarray(ref1[key])
+        np.testing.assert_allclose(got[: want.shape[0]], want,
+                                   rtol=1e-5, atol=1e-7)
