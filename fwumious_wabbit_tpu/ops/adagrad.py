@@ -267,8 +267,39 @@ def batch_mean_grads(num_rows: int, rid, grows, cap: float = 8.0):
     Must run AFTER tables.dedup_rows (counts are per example per weight; a
     weight contributed with an exact 0.0 gradient is not counted — such
     contributions are inert either way).
+
+    Counts are computed by sorting the K occurrence rows and run-summing —
+    NOT by scatter into a table-sized buffer (which would materialize a
+    2 GB temporary per step on a 2^29 table). ``num_rows`` only bounds the
+    id range.
     """
+    del num_rows
+    K = rid.shape[0]
+    if K <= 1:
+        return grows
     touched = (grows != 0.0).astype(grows.dtype)
-    cnt = jnp.zeros((num_rows, grows.shape[1]), grows.dtype).at[rid].add(touched)
-    c = jnp.maximum(jnp.take(cnt, rid, axis=0), 1.0)
-    return grows * jnp.minimum(jnp.float32(1.0), jnp.float32(cap) / c)
+    order = jnp.argsort(rid)
+    rs = jnp.take(rid, order)
+    ts = jnp.take(touched, order, axis=0)
+    # per-lane run totals over runs of equal rid in sorted order:
+    # csum[k] − csum[start_of_run − 1], broadcast to every member of the run
+    csum = jnp.cumsum(ts, axis=0)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), rs[1:] != rs[:-1]])
+    idx = jnp.arange(K, dtype=jnp.int32)
+    # last index of each run, propagated to all members (reverse cummin of
+    # "next run's first − 1" == forward trick: run_last = (next first) − 1)
+    first_idx = jnp.where(is_first, idx, 0)
+    run_first = jax.lax.cummax(first_idx)  # start index of my run
+    is_last = jnp.concatenate([rs[1:] != rs[:-1], jnp.ones((1,), bool)])
+    last_idx = jnp.where(is_last, idx, K - 1)
+    run_last = -jax.lax.cummax(-last_idx, reverse=True)
+    base = jnp.take(csum, jnp.maximum(run_first - 1, 0), axis=0)
+    base = jnp.where((run_first > 0)[:, None], base, jnp.float32(0.0))
+    c_sorted = jnp.take(csum, run_last, axis=0) - base  # [K, 128] run totals
+    c = jnp.maximum(c_sorted, 1.0)
+    gs = jnp.take(grows, order, axis=0)
+    scaled = gs * jnp.minimum(jnp.float32(1.0), jnp.float32(cap) / c)
+    # undo the permutation
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(K, dtype=order.dtype))
+    return jnp.take(scaled, inv, axis=0)

@@ -200,3 +200,25 @@ def test_sharded_matches_single_device_with_batch_mean(exchange):
         got, want = np.asarray(new_params[key]), np.asarray(ref1[key])
         np.testing.assert_allclose(got[: want.shape[0]], want,
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_batch_mean_grads_fuzz_vs_scatter_oracle():
+    """The sort-based run-counting implementation (no table-sized count
+    buffer — a scatter version would materialize 2 GB per step on a 2^29
+    table) must equal the straightforward scatter-count semantics."""
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        K = int(rng.integers(1, 80))
+        R = int(rng.integers(2, 20))
+        cap = float(rng.choice([1.0, 2.0, 8.0]))
+        rid = rng.integers(0, R, K).astype(np.int32)
+        g = rng.normal(size=(K, tables.LANE)).astype(np.float32)
+        g[rng.random((K, tables.LANE)) < 0.5] = 0.0
+        cnt = np.zeros((R, tables.LANE), np.float32)
+        np.add.at(cnt, rid, (g != 0).astype(np.float32))
+        c = np.maximum(cnt[rid], 1.0)
+        want = g * np.minimum(1.0, cap / c)
+        got = np.asarray(batch_mean_grads(R, jnp.asarray(rid),
+                                          jnp.asarray(g), cap))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7,
+                                   err_msg=f"trial {trial}")
