@@ -214,9 +214,10 @@ def dedup_rows(rid: jnp.ndarray, grows: jnp.ndarray, batch: int):
     layout and FFM slabs.
 
     ``rid [K]`` int32, ``grows [K, 128]`` with ``K = batch·W``; returns
-    same-shape ``(rid, grows)``. Cost: one small sort plus a [W,W] one-hot
-    contraction per example (MXU work) — duplicates also stop colliding in
-    the scatter, which XLA would otherwise serialize.
+    same-shape ``(rid, grows)``. Cost: a per-example sort plus run-summing
+    via cumulative sums — O(B·W·128), no [B, W, W] one-hot (which would
+    materialize gigabytes for wide schemas). Duplicates also stop colliding
+    in the scatter, which XLA would otherwise serialize.
     """
     K = rid.shape[0]
     W = K // batch
@@ -230,12 +231,21 @@ def dedup_rows(rid: jnp.ndarray, grows: jnp.ndarray, batch: int):
     is_first = jnp.concatenate(
         [jnp.ones((batch, 1), bool), r_s[:, 1:] != r_s[:, :-1]], axis=1
     )
-    seg = jnp.cumsum(is_first.astype(jnp.int32), axis=1) - 1  # [B, W]
-    seg_oh = jax.nn.one_hot(seg, W, dtype=g.dtype)  # [B, W, W]
-    totals = jnp.einsum("bws,bwl->bsl", seg_oh, g_s)  # run sums, indexed by seg
-    g_d = jnp.where(
-        is_first[:, :, None],
-        jnp.take_along_axis(totals, seg[:, :, None], axis=1),
-        jnp.zeros((), g.dtype),
+    is_last = jnp.concatenate(
+        [r_s[:, 1:] != r_s[:, :-1], jnp.ones((batch, 1), bool)], axis=1
     )
+    # run total at each position = csum[last_of_run] − csum[first_of_run − 1]
+    csum = jnp.cumsum(g_s, axis=1)
+    idx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (batch, W))
+    run_first = jax.lax.cummax(jnp.where(is_first, idx, 0), axis=1)
+    run_last = -jax.lax.cummax(
+        jnp.where(is_last, -idx, -(W - 1)), axis=1, reverse=True
+    )
+    totals = jnp.take_along_axis(csum, run_last[:, :, None], axis=1)
+    base = jnp.take_along_axis(
+        csum, jnp.maximum(run_first - 1, 0)[:, :, None], axis=1
+    )
+    totals = totals - jnp.where((run_first > 0)[:, :, None], base,
+                                jnp.zeros((), g.dtype))
+    g_d = jnp.where(is_first[:, :, None], totals, jnp.zeros((), g.dtype))
     return r_s.reshape(-1), g_d.reshape(-1, LANE)
