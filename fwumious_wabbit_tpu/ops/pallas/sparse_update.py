@@ -199,7 +199,13 @@ def _kernel(kind, lr, power_t, iag, chunk, *refs):
             gsq_ref[:] += out[:, LANE:]
         return 0
 
-    n_tiles = pl.cdiv(hi, UPD_TILE) - lo // UPD_TILE
+    # EMPTY chunks must run zero tiles: with lo == hi and lo % T ≠ 0 the
+    # cdiv expression evaluates to 1, and that phantom tile would WAIT on a
+    # semaphore nobody signalled (predecessors only prefetch for nonempty
+    # chunks) — a device hang/crash that only data with empty chunks
+    # between occupied ones can trigger (uniform benchmark ids never did;
+    # real CTR id distributions do).
+    n_tiles = jnp.where(hi > lo, pl.cdiv(hi, UPD_TILE) - lo // UPD_TILE, 0)
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
     # untouched chunks (common at low densities) are a pure copy-through

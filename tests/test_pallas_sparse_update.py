@@ -88,6 +88,37 @@ def test_empty_chunks_copy_through():
     assert not np.array_equal(w[:1024], np.asarray(w2)[:1024])
 
 
+def test_empty_chunks_between_occupied_ones():
+    """Regression: real CTR id distributions leave EMPTY chunks between
+    occupied ones with misaligned update ranges (lo == hi, lo % tile ≠ 0).
+    The tile-count expression used to evaluate to 1 there, making the
+    phantom tile wait on a semaphore no predecessor signalled — a device
+    hang/crash on hardware (found via the 2^26 CLI run; ids clustered on
+    ~900 distinct rows). The pattern here: a big run in chunk 0 ending off
+    tile alignment, nothing in chunks 1–2, updates again in chunk 3."""
+    R = 4 * 1024  # 4 chunks of 1024 (chunk = min(2048, pow2 divisor) = 1024)
+    rid = np.concatenate([
+        np.zeros(333, np.int32),              # chunk 0, lo=0..333 (misaligned)
+        np.full(77, 3 * 1024 + 5, np.int32),  # chunk 3
+    ])
+    rng = np.random.default_rng(9)
+    g = (rng.normal(size=(len(rid), tables.LANE)) * 0.1).astype(np.float32)
+    w = rng.normal(size=(R, tables.LANE)).astype(np.float32)
+    acc = rng.uniform(0, 2, size=(R, tables.LANE)).astype(np.float32)
+    opt = ScopedOptimizer(OPT_ADAGRAD_LUT, 0.1, 0.5, 0.0, pallas_mode="off")
+    w1, a1 = opt.apply_rows(jnp.asarray(w), jnp.asarray(acc),
+                            jnp.asarray(rid), jnp.asarray(g))
+    w2, a2 = sparse_update.sparse_adagrad_update(
+        jnp.asarray(w), jnp.asarray(acc), jnp.asarray(rid), jnp.asarray(g),
+        0.1, 0.5, 0.0, kind=OPT_ADAGRAD_LUT)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                               rtol=1e-5, atol=1e-6)
+    # the empty chunks 1–2 are untouched bit-for-bit
+    assert np.array_equal(w[1024:3072], np.asarray(w2)[1024:3072])
+
+
 def test_worth_it_rule():
     assert not sparse_update.worth_it(1 << 18, 200_000)       # 2^25: tie
     assert sparse_update.worth_it((1 << 26) // 128, 32_768)   # 2^26: 11×
