@@ -18,6 +18,7 @@ Usage: python bench.py [--rows N] [--cpu] [--device-step]
                  (the old metric; kept for kernel-level regression checks).
 """
 
+import functools
 import json
 import os
 import sys
@@ -167,20 +168,40 @@ def bench_decomposition(rows: int) -> dict:
     transfer_ex_s = reps * 32768 / transfer_s
     transfer_mb_s = reps * batch_bytes / transfer_s / 1e6
 
-    # -- step only: device-resident batches, donated params
+    # -- step only: device-resident batches, donated params, and ALL steps
+    # inside one jitted lax.scan — a single dispatch, so the tunnel's
+    # per-call RPC latency (which bounds the naive loop here) cannot touch
+    # the measurement: this is the device-exclusive rate
+    import jax.numpy as jnp
+
     model = FwModel(mi, precision="default")
-    step = make_train_step(model)
-    dev_batches = [jax.device_put(b) for b in staged]
+    inner = make_train_step(model)
+    stacked = {
+        k: jax.device_put(np.stack([b[k] for b in staged]))
+        for k in staged[0]
+    }
+    n_stage = len(staged)
+    steps = 32
+
+    def body(params, i):
+        b = {k: v[i % n_stage] for k, v in stacked.items()}
+        params, p = inner(params, b)
+        return params, p[0]
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scan_run(params):
+        return jax.lax.scan(body, params, jnp.arange(steps, dtype=jnp.int32))
+
     params = model.init_params()
-    params, p = step(params, dev_batches[0])
-    _ = float(p[0])
-    steps = 30
+    params, ps = scan_run(params)
+    _ = float(ps[-1])
+    params = model.init_params()
     t0 = time.perf_counter()
-    for i in range(steps):
-        params, p = step(params, dev_batches[i % len(dev_batches)])
-    _ = float(p[0]) + float(params["lr_w"][0, 0])
+    params, ps = scan_run(params)
+    _ = float(ps[-1])
     step_s = time.perf_counter() - t0
     step_ex_s = steps * 32768 / step_s
+    del params
 
     # round-trip floor of this environment: one trivial device call +
     # result fetch (the axon tunnel adds per-call RPC latency that bounds
