@@ -10,7 +10,7 @@ parse + translate + device train step, pipelined. Baseline: fw 1.6 trains
 10M examples in 19.98 s ≈ 500k examples/s on a Xeon E5-2630v2 core
 (BENCHMARK.md:18).
 
-Prints ONE JSON line. The dataset (default 4M rows) is generated once and
+Prints ONE JSON line. The dataset (default 1M rows) is generated once and
 cached under .bench_cache/.
 
 Usage: python bench.py [--rows N] [--cpu] [--device-step]
@@ -328,6 +328,25 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
                   file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# device-step failed: {e}", file=sys.stderr)
+
+    # quantize/dequantize 10M weights — the reference's (ignored) perf gate
+    # is < 300 ms each (reference: src/quantization.rs:162-175)
+    try:
+        from fwumious_wabbit_tpu.persistence import quantization as q
+
+        wq = np.random.default_rng(0).normal(size=10_000_000).astype(np.float32)
+        t0 = time.perf_counter()
+        blob = q.quantize_ffm_weights(wq)
+        t_q = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = q.dequantize_ffm_weights(blob, wq.size)
+        t_dq = time.perf_counter() - t0
+        extras["quantize_10m_ms"] = round(t_q * 1e3, 1)
+        extras["dequantize_10m_ms"] = round(t_dq * 1e3, 1)
+        print(f"# quantize/dequantize 10M weights: {t_q*1e3:.0f} / "
+              f"{t_dq*1e3:.0f} ms (reference gate < 300 ms)", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# quantize probe failed: {e}", file=sys.stderr)
 
     extras["peak_rss_mb"] = peak_rss_mb()
     return {

@@ -1,0 +1,51 @@
+"""Native (F16C) vs numpy quantize/dequantize: the C++ kernels must be
+BIT-identical to the numpy reference path (same IEEE nearest-even rounding;
+the native build uses -ffp-contract=off so mul+add cannot fuse into an
+FMA with different rounding). The reference's perf gate is < 300 ms per
+direction for 10M weights (reference: src/quantization.rs:162-175);
+measured 50 / 28 ms here."""
+
+import numpy as np
+import pytest
+
+from fwumious_wabbit_tpu import native
+from fwumious_wabbit_tpu.persistence import quantization as q
+
+pytestmark = pytest.mark.skipif(native.load() is None,
+                                reason="no native toolchain")
+
+
+def _numpy_quantize(w):
+    mn, mx, _mean = q.weight_statistics(w)
+    inc = np.float32((mx - mn) / np.float32(q.NUM_BUCKETS))
+    with np.errstate(all="ignore"):
+        ref = np.round((w - mn) / inc).astype(np.float16)
+    header = np.array([inc, mn], np.float32).tobytes()
+    return header + ref.tobytes(), mn, inc, ref
+
+
+@pytest.mark.parametrize("n", [3, 8, 777, 100_003])
+def test_native_quantize_bit_identical(n):
+    rng = np.random.default_rng(n)
+    w = (rng.normal(size=n) * 0.05).astype(np.float32)
+    blob = q.quantize_ffm_weights(w)
+    ref_blob, mn, inc, ref = _numpy_quantize(w)
+    assert blob == ref_blob
+    out = q.dequantize_ffm_weights(blob, n)
+    ref_out = mn + ref.astype(np.float32) * inc
+    assert np.array_equal(out, ref_out)
+
+
+def test_quantize_roundtrip_error_bound():
+    """Quantization error ≤ half a bucket (the reference's accuracy
+    property, src/quantization.rs:110-160)."""
+    rng = np.random.default_rng(0)
+    w = (rng.uniform(-0.5, 0.5, 200_000)).astype(np.float32)
+    blob = q.quantize_ffm_weights(w)
+    out = q.dequantize_ffm_weights(blob, w.size)
+    inc = np.frombuffer(blob[:4], np.float32)[0]
+    # f16 bucket-index coarseness adds error for large indices: the bound
+    # is half a bucket + the f16 ulp of the index (~index/2048 buckets)
+    idx = np.abs((w - w.min()) / inc)
+    tol = inc * (0.5 + idx / 1024.0)
+    assert np.all(np.abs(out - w) <= tol + 1e-7)
