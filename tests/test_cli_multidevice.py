@@ -41,10 +41,14 @@ def run(tmp_path, data, extra, name):
 
 
 @pytest.mark.parametrize("extra", [
-    ["--fwt_table_axis", "2"],
-    ["--fwt_data_axis", "4", "--fwt_table_axis", "2"],
+    ["--fwt_table_axis", "2"],                               # auto → a2a
+    ["--fwt_data_axis", "4", "--fwt_table_axis", "2"],       # auto → a2a
+    ["--fwt_data_axis", "4", "--fwt_table_axis", "2",
+     "--fwt_exchange", "psum"],
+    ["--fwt_table_axis", "2", "--fwt_exchange", "a2a",
+     "--fwt_a2a_capacity", "8.0"],
     ["--fwt_data_axis", "8"],
-], ids=["table2", "data4xtable2", "data8"])
+], ids=["table2", "data4xtable2", "psum", "a2a_explicit", "data8"])
 def test_cli_mesh_matches_single_device(tmp_path, extra):
     data = write_dataset(tmp_path)
     single, _ = run(tmp_path, data, [], "single.out")
