@@ -44,12 +44,19 @@ FLOAT32_ONE = 1065353216  # 1.0f32.to_bits()
 class FlushCommand(Exception):
     """In-band "flush" command (reference: src/parser.rs:233-241)."""
 
+    def __str__(self) -> str:
+        return 'Not really an error: a "flush" command from client'
+
 
 @dataclass
 class HogwildLoadCommand(Exception):
     """In-band "hogwild_load <file>" command (reference: src/parser.rs:242-253)."""
 
     filename: str
+
+    def __str__(self) -> str:
+        return ('Not really an error: a "hogwild_load" command from client'
+                f" to load: {self.filename}")
 
 
 class ParseError(ValueError):

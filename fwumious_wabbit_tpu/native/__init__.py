@@ -284,10 +284,21 @@ class NativeIngest:
             self._ctx = None
 
     def translate_block(self, text: bytes) -> int:
-        """Parse+translate a block of newline-separated VW lines."""
+        """Parse+translate a block of newline-separated VW lines.
+
+        In-band command lines are surfaced as the same exception classes
+        the Python parser raises (the reference aborts a training run on
+        them, src/main.rs:218-221)."""
         n = self._lib.fwn_translate_block(self._ctx, text, len(text))
         if n < 0:
-            raise ValueError(self._lib.fwn_last_error(self._ctx).decode())
+            msg = self._lib.fwn_last_error(self._ctx).decode()
+            from ..ingest.parser import FlushCommand, HogwildLoadCommand
+
+            if '"flush" command' in msg:
+                raise FlushCommand()
+            if '"hogwild_load" command' in msg:
+                raise HogwildLoadCommand("")
+            raise ValueError(msg)
         return int(n)
 
     def translate_records(self, records: np.ndarray) -> int:

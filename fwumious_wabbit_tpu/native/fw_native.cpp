@@ -123,8 +123,10 @@ static std::vector<int> slot_formats(const Config& c) {
 }
 
 // Parse + translate a block of newline-separated examples. Returns the
-// number of examples, or -1 on error (see fwn_last_error). Lines holding
-// in-band commands (flush / hogwild_load) are skipped in block mode.
+// number of examples, or -1 on error (see fwn_last_error). In-band command
+// lines (flush / hogwild_load) are ERRORS in file mode, exactly like the
+// reference (src/main.rs:218-221 propagates the parser's command "error"
+// and the run exits); they are only meaningful on the serving socket.
 int64_t fwn_translate_block(void* p, const char* buf, int64_t len) {
   auto* ctx = static_cast<Ctx*>(p);
   const Config& cfg = ctx->cfg;
@@ -166,6 +168,15 @@ int64_t fwn_translate_block(void* p, const char* buf, int64_t len) {
       LineKind kind = parse_line(cfg, data + i, size_t(j - i), rec, err);
       if (kind == LineKind::Example) {
         translate_record(cfg, rec.data() + rec_base, formats, sh);
+      } else if (kind == LineKind::Flush) {
+        sh.error = "Not really an error: a \"flush\" command from client";
+        failed.store(true, std::memory_order_relaxed);
+        return;
+      } else if (kind == LineKind::HogwildLoad) {
+        sh.error =
+            "Not really an error: a \"hogwild_load\" command from client";
+        failed.store(true, std::memory_order_relaxed);
+        return;
       } else if (kind == LineKind::Error) {
         sh.error = err;
         failed.store(true, std::memory_order_relaxed);

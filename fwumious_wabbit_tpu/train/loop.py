@@ -65,16 +65,23 @@ def record_stream(args, vw: VwNamespaceMap):
     stream = create_buffered_input(input_filename)
     try:
         while True:
-            try:
-                rec = parser.next_vowpal(stream)
-            except (FlushCommand, HogwildLoadCommand):
-                continue  # in-band commands are no-ops in file mode
+            # in-band commands in a training FILE abort the run, exactly
+            # like the reference (src/main.rs:218-221 propagates the
+            # parser's command "error" and exits); they are only
+            # meaningful on the serving socket
+            rec = parser.next_vowpal(stream)
             if rec.size == 0:
                 break
             if writer is not None:
                 writer.push_record(rec)
             yield rec
-    finally:
+    except BaseException:
+        # never publish a truncated cache (the reference only renames the
+        # .writing temp on clean completion, src/cache.rs:147-153)
+        if writer is not None:
+            writer.abort()
+        raise
+    else:
         if writer is not None:
             writer.write_finish()
 
@@ -294,7 +301,11 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
                 yield slim(ni.fill_range(s, cap, batch_size, L, N), cap), cap
                 emitted += cap
                 s += cap
-    finally:
+    except BaseException:
+        if writer is not None:
+            writer.abort()  # never publish a truncated cache
+        raise
+    else:
         if writer is not None:
             writer.write_finish()
 
@@ -622,6 +633,11 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(profile_dir)
     try:
         result = run_train_loop(args, mi, vw, model, params)
+    except (FlushCommand, HogwildLoadCommand) as e:
+        # reference: "Global error: Not really an error: a \"flush\"
+        # command from client" → exit(1) (src/main.rs:44-47)
+        log.error("Global error: %s", e)
+        return 1
     finally:
         if profile_dir:
             import jax

@@ -96,3 +96,26 @@ def test_empty_line_terminates_stream(tmp_path):
     assert len(out.splitlines()) == 30
     out_py = run(tmp_path, data, ["--fwt_no_native"], "cut_py.out")
     assert out == out_py
+
+
+@pytest.mark.parametrize("native", [True, False])
+def test_inband_command_in_training_file_aborts(tmp_path, native):
+    """The reference ABORTS a training run on an in-band flush/hogwild_load
+    line (src/main.rs:218-221 propagates the parser's command "error" and
+    exits 1) — both ingest engines must match, and an aborted -c run must
+    not publish a truncated cache."""
+    from fwumious_wabbit_tpu.train.loop import main as cli_main
+
+    (tmp_path / "vw_namespace_map.csv").write_text("A,a\nB,b\n")
+    data = tmp_path / "d.vw"
+    data.write_text("1 |A x |B y\nflush\n-1 |A z |B w\n")
+    flags = ["--data", str(data), "--keep", "A", "--keep", "B", "-b", "18",
+             "--adaptive", "-l", "0.1", "--fwt_platform", "cpu",
+             "--fwt_batch_size", "8", "-c",
+             "-p", str(tmp_path / "p.out")]
+    if not native:
+        flags.append("--fwt_no_native")
+    rc = cli_main(flags)
+    assert rc == 1
+    # no truncated cache published (only the .writing temp may remain)
+    assert not (tmp_path / "d.vw.fwcache").exists()

@@ -116,12 +116,18 @@ def test_records_roundtrip(tmp_path):
         np.testing.assert_array_equal(b1[k], b2[k])
 
 
-def test_commands_skipped_and_errors_raised(tmp_path):
+def test_commands_abort_and_errors_raised(tmp_path):
+    """In-band commands in file mode ABORT, matching the reference
+    (src/main.rs:218-221); malformed lines raise their parse errors."""
+    from fwumious_wabbit_tpu.ingest.parser import FlushCommand, HogwildLoadCommand
+
     vw = make_vw(tmp_path)
     mi = make_mi(vw)
     ni = native.NativeIngest(mi, vw, num_threads=1)
-    n = ni.translate_block(b"1 |A cat\nflush\n-1 |B milk\n")
-    assert n == 2
+    with pytest.raises(FlushCommand):
+        ni.translate_block(b"1 |A cat\nflush\n-1 |B milk\n")
+    with pytest.raises(HogwildLoadCommand):
+        ni.translate_block(b"hogwild_load /tmp/x.fwt\n")
     with pytest.raises(ValueError, match="not predeclared"):
         ni.translate_block(b"1 |Z nope\n")
     with pytest.raises(ValueError, match="Cannot parse"):
