@@ -119,3 +119,59 @@ def test_inband_command_in_training_file_aborts(tmp_path, native):
     assert rc == 1
     # no truncated cache published (only the .writing temp may remain)
     assert not (tmp_path / "d.vw.fwcache").exists()
+
+
+def test_predictions_stdout(tmp_path, capsys):
+    """--predictions_stdout writes the same %.6f lines to stdout as -p
+    writes to the file (reference: src/main.rs:260-269)."""
+    from fwumious_wabbit_tpu.train.loop import main as cli_main
+
+    (tmp_path / "vw_namespace_map.csv").write_text("A,a\nB,b\n")
+    data = tmp_path / "d.vw"
+    data.write_text("".join(
+        f"{1 if i % 2 else -1} |A a{i % 5} |B b{i % 3}\n" for i in range(32)
+    ))
+    rc = cli_main(["--data", str(data), "--keep", "A", "--keep", "B",
+                   "-b", "18", "--adaptive", "-l", "0.1",
+                   "--fwt_platform", "cpu", "--fwt_batch_size", "8",
+                   "--predictions_stdout", "-p", str(tmp_path / "p.out")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    stdout_lines = [l for l in out.splitlines() if l and l[0].isdigit()]
+    file_lines = (tmp_path / "p.out").read_text().splitlines()
+    assert stdout_lines == file_lines
+    assert len(file_lines) == 32
+    assert all(len(l.split(".")[1]) == 6 for l in file_lines)
+
+
+def test_quiet_suppresses_progress(tmp_path, caplog):
+    """--quiet raises the root log level to WARNING so the per-pass progress
+    line is suppressed (reference: src/main.rs quiet gate on progress
+    output)."""
+    import logging
+
+    from fwumious_wabbit_tpu.train.loop import main as cli_main
+
+    (tmp_path / "vw_namespace_map.csv").write_text("A,a\n")
+    data = tmp_path / "d.vw"
+    data.write_text("".join(f"{1 if i % 2 else -1} |A a{i % 4}\n" for i in range(16)))
+    common = ["--data", str(data), "--keep", "A", "-b", "16", "--adaptive",
+              "--fwt_platform", "cpu", "--fwt_batch_size", "8"]
+
+    root = logging.getLogger()
+    before = root.level
+    try:
+        with caplog.at_level(logging.INFO):
+            assert cli_main(common) == 0
+        loud = [r for r in caplog.records if "Elapsed" in r.getMessage()]
+        assert loud, "progress line expected without --quiet"
+
+        caplog.clear()
+        root.setLevel(before)
+        assert cli_main(common + ["--quiet"]) == 0
+        assert root.level == logging.WARNING
+        silent = [r for r in caplog.records
+                  if r.levelno < logging.WARNING and "Elapsed" in r.getMessage()]
+        assert not silent
+    finally:
+        root.setLevel(before)
