@@ -137,3 +137,45 @@ def test_fwt_profile_writes_trace(tmp_path):
     # a plugins/profile/<ts>/ tree with at least one trace artifact
     artifacts = list(prof.rglob("*"))
     assert any(p.is_file() for p in artifacts), artifacts
+
+
+def test_long_flag_aliases_and_stored_only_knobs(tmp_path):
+    """Long aliases (--learning_rate/--bit_precision/...) resolve like the
+    short forms, and the accepted-but-unused knobs the reference also only
+    stores (--minimum_learning_rate; reference: src/model_instance.rs:51,
+    447-448 — no compute-path consumer) survive a JSON round-trip.
+    --ffm_k_threshold is accepted but NEVER read from the CLI in the
+    reference (declared src/cmdline.rs:202 with no value_of() consumer) —
+    we replicate that quirk: the field stays at its default."""
+    (tmp_path / "vw_namespace_map.csv").write_text("A,a\nB,b\n")
+    vw = VwNamespaceMap.from_csv_file(str(tmp_path / "vw_namespace_map.csv"))
+
+    argv = ["--data", "x.vw", "--keep", "A", "--interactions", "AB",
+            "--learning_rate", "0.3", "--bit_precision", "21",
+            "--power_t", "0.4", "--adaptive",
+            "--init_acc_gradient", "2.5",
+            "--minimum_learning_rate", "0.001",
+            "--ffm_k", "4", "--ffm_field", "A", "--ffm_field", "B",
+            "--ffm_k_threshold", "7.0",
+            "--ffm_learning_rate", "0.2", "--ffm_power_t", "0.25",
+            "--ffm_init_acc_gradient", "1.5",
+            "--nn_init_acc_gradient", "0.75"]
+    args = build_parser().parse_args(argv)
+    mi = ModelInstance.from_cmdline(args, vw)
+
+    assert mi.learning_rate == pytest.approx(0.3)
+    assert mi.bit_precision == 21
+    assert mi.power_t == pytest.approx(0.4)
+    assert mi.init_acc_gradient == pytest.approx(2.5)
+    assert mi.minimum_learning_rate == pytest.approx(0.001)
+    assert mi.ffm_k_threshold == 0.0  # CLI value intentionally ignored
+    # cascade: ffm_* explicit here, nn_* falls back to ffm_* except the
+    # explicitly-set nn_init_acc_gradient
+    assert mi.ffm_learning_rate == pytest.approx(0.2)
+    assert mi.nn_learning_rate == pytest.approx(0.2)
+    assert mi.nn_power_t == pytest.approx(0.25)
+    assert mi.nn_init_acc_gradient == pytest.approx(0.75)
+
+    mi2 = ModelInstance.from_json(mi.to_json())
+    assert mi2.minimum_learning_rate == pytest.approx(0.001)
+    assert mi2.nn_init_acc_gradient == pytest.approx(0.75)
