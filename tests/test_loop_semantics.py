@@ -175,3 +175,50 @@ def test_quiet_suppresses_progress(tmp_path, caplog):
         assert not silent
     finally:
         root.setLevel(before)
+
+
+def test_build_cache_without_training_cli(tmp_path):
+    """--build_cache_without_training writes the cache and does no training
+    (reference: src/main.rs:50-94); a following -c run must consume the
+    prebuilt cache byte-identically to a cold cached run."""
+    from fwumious_wabbit_tpu.train.loop import main as cli_main
+
+    (tmp_path / "vw_namespace_map.csv").write_text("A,a\nB,b\n")
+    data = tmp_path / "d.vw"
+    data.write_text("".join(
+        f"{1 if i % 2 else -1} |A a{i % 6} |B b{i % 4}\n" for i in range(48)
+    ))
+    common = ["--data", str(data), "--keep", "A", "--keep", "B",
+              "-b", "18", "--adaptive", "-l", "0.1",
+              "--fwt_platform", "cpu", "--fwt_batch_size", "16"]
+
+    rc = cli_main(common + ["-c", "--build_cache_without_training"])
+    assert rc == 0
+    caches = list(tmp_path.glob("*.fwcache"))
+    assert caches, "cache file expected next to the data"
+    assert not list(tmp_path.glob("*.out"))
+
+    # a cached run consumes it; result equals a no-cache run
+    assert cli_main(common + ["-c", "-p", str(tmp_path / "cached.out")]) == 0
+    assert cli_main(common + ["-p", str(tmp_path / "plain.out")]) == 0
+    assert (tmp_path / "cached.out").read_text() == (tmp_path / "plain.out").read_text()
+
+
+def test_fwt_exact_equals_batch_size_one(tmp_path):
+    """--fwt_exact is sugar for the exact online (B=1) schedule — predictions
+    must be identical to --fwt_batch_size 1."""
+    from fwumious_wabbit_tpu.train.loop import main as cli_main
+
+    (tmp_path / "vw_namespace_map.csv").write_text("A,a\nB,b\n")
+    data = tmp_path / "d.vw"
+    data.write_text("".join(
+        f"{1 if i % 2 else -1} |A a{i % 6} |B b{i % 4}\n" for i in range(40)
+    ))
+    common = ["--data", str(data), "--keep", "A", "--keep", "B",
+              "-b", "18", "--adaptive", "-l", "0.1", "--fwt_platform", "cpu"]
+    assert cli_main(common + ["--fwt_exact", "-p", str(tmp_path / "exact.out")]) == 0
+    assert cli_main(common + ["--fwt_batch_size", "1",
+                              "-p", str(tmp_path / "b1.out")]) == 0
+    exact = (tmp_path / "exact.out").read_text()
+    assert exact == (tmp_path / "b1.out").read_text()
+    assert len(exact.splitlines()) == 40

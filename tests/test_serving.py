@@ -295,3 +295,31 @@ def test_hogwild_load_hot_swap(tmp_path):
         c2.close()
     finally:
         srv.shutdown()
+
+
+def test_fwt_serve_engine_selection(tmp_path):
+    """--fwt_serve_engine: 'device' forces the JAX predictor even when a
+    model path is given; 'native' requires the C++ engine (raises without
+    it); 'auto' falls back silently."""
+    from fwumious_wabbit_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    args, mi, vw, model, params, mpath = build(tmp_path)
+
+    args.fwt_serve_engine = "device"
+    srv = Serving(args, mi, vw, model, params, model_path=mpath)
+    assert srv.native_predictor is None
+
+    args.fwt_serve_engine = "native"
+    srv = Serving(args, mi, vw, model, params, model_path=mpath)
+    assert srv.native_predictor is not None
+
+    with pytest.raises(Exception):
+        Serving(args, mi, vw, model, params,
+                model_path=tmp_path / "nonexistent.fwt")
+
+    args.fwt_serve_engine = "auto"
+    srv = Serving(args, mi, vw, model, params,
+                  model_path=tmp_path / "nonexistent.fwt")
+    assert srv.native_predictor is None  # fell back, no raise
