@@ -222,3 +222,25 @@ def test_fwt_exact_equals_batch_size_one(tmp_path):
     exact = (tmp_path / "exact.out").read_text()
     assert exact == (tmp_path / "b1.out").read_text()
     assert len(exact.splitlines()) == 40
+
+
+@pytest.mark.parametrize("extra", [
+    ["--fwt_batch_cap", "4", "--fwt_batch_mean", "on"],
+    ["--fwt_pallas_update", "off"],
+    ["--hogwild_training", "--hogwild_threads", "4"],
+])
+def test_accepted_flag_smoke(tmp_path, extra):
+    """Remaining knobs parse and train end-to-end: the batch-multiplicity
+    cap, the Pallas dispatch override, and the hogwild flags (accepted;
+    asynchrony maps to batched data parallelism, SURVEY §2.4)."""
+    from fwumious_wabbit_tpu.train.loop import main as cli_main
+
+    (tmp_path / "vw_namespace_map.csv").write_text("A,a\n")
+    data = tmp_path / "d.vw"
+    data.write_text("".join(f"{1 if i % 2 else -1} |A a{i % 4}\n" for i in range(24)))
+    rc = cli_main(["--data", str(data), "--keep", "A", "-b", "16",
+                   "--adaptive", "-l", "0.1", "--fwt_platform", "cpu",
+                   "--fwt_batch_size", "8", "-p", str(tmp_path / "p.out"),
+                   *extra])
+    assert rc == 0
+    assert len((tmp_path / "p.out").read_text().splitlines()) == 24
