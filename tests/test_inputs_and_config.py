@@ -179,3 +179,24 @@ def test_long_flag_aliases_and_stored_only_knobs(tmp_path):
     mi2 = ModelInstance.from_json(mi.to_json())
     assert mi2.minimum_learning_rate == pytest.approx(0.001)
     assert mi2.nn_init_acc_gradient == pytest.approx(0.75)
+
+
+def test_remaining_long_aliases_parse(tmp_path):
+    """--cache/--final_regressor/--predictions long forms and the FFM band
+    init flags wire through argparse into ModelInstance."""
+    (tmp_path / "vw_namespace_map.csv").write_text("A,a\n")
+    vw = VwNamespaceMap.from_csv_file(str(tmp_path / "vw_namespace_map.csv"))
+    args = build_parser().parse_args(
+        ["--data", "x.vw", "--cache", "--final_regressor", "m.fwt",
+         "--predictions", "p.out", "--keep", "A",
+         "--ffm_k", "2", "--ffm_field", "A",
+         "--ffm_initialization_type", "default",
+         "--ffm_init_center", "0.1", "--ffm_init_width", "0.2",
+         "--ffm_init_zero_band", "0.3"])
+    assert args.cache and args.final_regressor == "m.fwt"
+    assert args.predictions == "p.out"
+    mi = ModelInstance.from_cmdline(args, vw)
+    assert mi.ffm_initialization_type == "default"
+    assert mi.ffm_init_center == pytest.approx(0.1)
+    assert mi.ffm_init_width == pytest.approx(0.2)
+    assert mi.ffm_init_zero_band == pytest.approx(0.3)
