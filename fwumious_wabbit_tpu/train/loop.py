@@ -395,34 +395,50 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     delayed: list = []
     delayed_examples = 0
 
-    # device/host overlap: prediction fetches are deferred a few batches so
-    # the host keeps parsing/translating while the device trains (JAX
-    # dispatch is async; materializing preds is the only sync point)
-    inflight: list = []  # (preds_devicearray, first_num, n)
-    # deferred prediction fetches: at most depth·batch f32 predictions in
-    # flight while the host keeps parsing and the device training.
-    # FWT_PIPELINE_DEPTH tunes it for high-latency links (A/B on the axon
-    # tunnel measured depth 3/8 and batch 32k/64k within noise — the link
-    # itself dominates; see bench.py's decomposition)
+    # device/host overlap: prediction fetches happen on a dedicated writer
+    # thread so the D2H round-trip (~35 ms per fetch on the axon tunnel)
+    # never blocks step dispatch; a bounded queue keeps at most
+    # FWT_PIPELINE_DEPTH batches of predictions in flight.
+    import queue as _queue
+    import threading as _threading
+
     PIPELINE_DEPTH = int(os.environ.get("FWT_PIPELINE_DEPTH", "3"))
+    _wq: _queue.Queue = _queue.Queue(maxsize=PIPELINE_DEPTH)
+    _werr: list = []
 
-    def drain(limit: int) -> None:
-        while len(inflight) > limit:
-            preds, first_num, n = inflight.pop(0)
-            preds = np.asarray(preds)[:n]
-            skip = max(0, predictions_after - first_num + 1)
-            writer.write_block(preds[skip:])
+    def _pred_writer():
+        try:
+            while (item := _wq.get()) is not None:
+                preds, first_num, n = item
+                preds = np.asarray(preds)[:n]
+                skip = max(0, predictions_after - first_num + 1)
+                writer.write_block(preds[skip:])
+        except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
+            _werr.append(e)
+            while _wq.get() is not None:  # unblock the producer
+                pass
 
-    def process(params, bd, n):
+    _wt = _threading.Thread(target=_pred_writer, daemon=True)
+    _wt.start()
+
+    def _finish_writes() -> None:
+        _wq.put(None)
+        _wt.join()
+        if _werr:
+            raise _werr[0]
+
+    def process(params, bd, n, placed=False):
         """One padded batch: train-or-predict, write predictions.
 
         Batches never span the train/holdout boundary (the producers cut
-        there), so the update flag is uniform per batch."""
+        there), so the update flag is uniform per batch. ``placed`` means the
+        batch is already device-resident (the transfer pipeline stage did
+        it) and must not be re-sharded."""
         nonlocal delayed_examples, example_num
         first_num = example_num + 1
         example_num += n
         update = not testonly and (holdout_after is None or first_num < holdout_after)
-        if shard_batch_fn is not None:
+        if shard_batch_fn is not None and not placed:
             bd = shard_batch_fn(bd)
 
         if delay == 0:
@@ -446,8 +462,9 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
 
         if hasattr(preds, "copy_to_host_async"):
             preds.copy_to_host_async()  # overlap D2H with further host work
-        inflight.append((preds, first_num, n))
-        drain(PIPELINE_DEPTH)
+        _wq.put((preds, first_num, n))  # blocks when the pipeline is full
+        if _werr:
+            raise _werr[0]
         return params
 
     # blocks must end at the train/holdout boundary
@@ -459,26 +476,47 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
 
         import jax
 
-        # prefetch thread: C++ ingest and host→device transfers both release
-        # the GIL, so they overlap with step dispatch and prediction drains
+        # three-stage pipeline: C++ ingest, host→device transfer, and step
+        # dispatch each on their own thread. Both ingest and device_put
+        # release the GIL, and on a high-latency link (the axon tunnel:
+        # 25-270 MB/s, ~34 ms RPC) the transfer otherwise serializes with
+        # dispatch+drain on the consumer — measured 202k → ~330k ex/s
+        # end-to-end from overlapping it (bench.py decomposition).
         q: queue.Queue = queue.Queue(maxsize=3)
+        q2: queue.Queue = queue.Queue(maxsize=3)
 
         def producer():
             try:
                 for bd, n in native_batch_stream(args, mi, vw, batch_size, cut_at):
                     q.put((bd, n))
                 q.put(None)
-            except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
+            except BaseException as e:  # noqa: BLE001 — re-raised downstream
                 q.put(e)
 
+        def transferrer():
+            try:
+                while True:
+                    item = q.get()
+                    if item is None or isinstance(item, BaseException):
+                        q2.put(item)
+                        return
+                    bd, n = item
+                    bd = shard_batch_fn(bd) if shard_batch_fn is not None \
+                        else jax.device_put(bd)
+                    q2.put((bd, n))
+            except BaseException as e:  # noqa: BLE001 — re-raised on consumer
+                q2.put(e)
+
         threading.Thread(target=producer, daemon=True).start()
+        threading.Thread(target=transferrer, daemon=True).start()
         while True:
-            item = q.get()
+            item = q2.get()
             if item is None:
                 break
             if isinstance(item, BaseException):
                 raise item
-            params = process(params, *item)
+            bd, n = item
+            params = process(params, bd, n, placed=True)
     else:
         pending: list = []
 
@@ -502,7 +540,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     if delay > 0 and not testonly and train_step is not None:
         for bd, _n in delayed:
             params, _ = train_step(params, bd)
-    drain(0)
+    _finish_writes()
 
     writer.close()
     elapsed = time.time() - t0
