@@ -223,20 +223,45 @@ def dedup_rows(rid: jnp.ndarray, grows: jnp.ndarray, batch: int):
     W = K // batch
     if W <= 1:
         return rid, grows
-    r = rid.reshape(batch, W)
-    g = grows.reshape(batch, W, LANE)
-    order = jnp.argsort(r, axis=1)
-    r_s = jnp.take_along_axis(r, order, axis=1)
-    g_s = jnp.take_along_axis(g, order[:, :, None], axis=1)
+    r_s, g_d = _dedup_runs(rid.reshape(batch, W), grows.reshape(batch, W, LANE))
+    return r_s.reshape(-1), g_d.reshape(-1, LANE)
+
+
+def _dedup_runs(keys: jnp.ndarray, payload: jnp.ndarray):
+    """Per-example key-equality-class sum: each class's total lands on its
+    first occurrence, the rest are zeroed.
+
+    ``keys [B, W]`` int32, ``payload [B, W, P]``; returns same-shape
+    ``(keys, payload_dedup)``.
+
+    For the widths that occur in practice (W ≤ 128 entries/example) this is
+    a pairwise comparison + one-hot contraction — B·W²·P MXU flops, no sort.
+    A TPU sort of [B, W] along the minor axis measured ~10 ms at B=32k even
+    for W=4 (XLA variadic sort is the wrong tool at these shapes); the
+    pairwise form is ~50 µs. Very wide inputs fall back to the
+    sort-and-run-sum path.
+    """
+    B, W = keys.shape
+    if W <= 128:
+        eq = keys[:, :, None] == keys[:, None, :]  # [B, W, W]
+        dup_before = jnp.tril(eq, k=-1).any(axis=2)
+        totals = jnp.einsum(
+            "bij,bjp->bip", eq.astype(payload.dtype), payload
+        )
+        p_d = jnp.where(~dup_before[:, :, None], totals,
+                        jnp.zeros((), payload.dtype))
+        return keys, p_d
+    order = jnp.argsort(keys, axis=1)
+    k_s = jnp.take_along_axis(keys, order, axis=1)
+    p_s = jnp.take_along_axis(payload, order[:, :, None], axis=1)
     is_first = jnp.concatenate(
-        [jnp.ones((batch, 1), bool), r_s[:, 1:] != r_s[:, :-1]], axis=1
+        [jnp.ones((B, 1), bool), k_s[:, 1:] != k_s[:, :-1]], axis=1
     )
     is_last = jnp.concatenate(
-        [r_s[:, 1:] != r_s[:, :-1], jnp.ones((batch, 1), bool)], axis=1
+        [k_s[:, 1:] != k_s[:, :-1], jnp.ones((B, 1), bool)], axis=1
     )
-    # run total at each position = csum[last_of_run] − csum[first_of_run − 1]
-    csum = jnp.cumsum(g_s, axis=1)
-    idx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (batch, W))
+    csum = jnp.cumsum(p_s, axis=1)
+    idx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (B, W))
     run_first = jax.lax.cummax(jnp.where(is_first, idx, 0), axis=1)
     run_last = -jax.lax.cummax(
         jnp.where(is_last, -idx, -(W - 1)), axis=1, reverse=True
@@ -246,6 +271,55 @@ def dedup_rows(rid: jnp.ndarray, grows: jnp.ndarray, batch: int):
         csum, jnp.maximum(run_first - 1, 0)[:, :, None], axis=1
     )
     totals = totals - jnp.where((run_first > 0)[:, :, None], base,
-                                jnp.zeros((), g.dtype))
-    g_d = jnp.where(is_first[:, :, None], totals, jnp.zeros((), g.dtype))
-    return r_s.reshape(-1), g_d.reshape(-1, LANE)
+                                jnp.zeros((), payload.dtype))
+    p_d = jnp.where(is_first[:, :, None], totals, jnp.zeros((), payload.dtype))
+    return k_s, p_d
+
+
+def expand_scalar_grads_dedup(ids: jnp.ndarray, g: jnp.ndarray):
+    """LR cotangents with per-example dedup BEFORE lane expansion.
+
+    ``ids [B, W]`` feature ids, ``g [B, W]`` scalar cotangents. An id maps
+    bijectively to a (row, lane), so run-summing the *scalars* keyed by id
+    is exactly the (Σg)² dedup — at 1/128th the HBM traffic of deduping the
+    expanded ``[K, 128]`` rows (measured ~10 ms → ~1 ms of a 2^25-table
+    train step at B=32k). Entries left separate that share a row but not a
+    lane are harmless: both the XLA scatter-add and the Pallas sweep update
+    lanes elementwise, and a zero lane contributes 0 to acc and weight.
+    The lane one-hot is recomputed from the sorted ids.
+    """
+    if ids.shape[-1] > 1:
+        ids, g = _dedup_runs(ids, g[..., None])
+        g = g[..., 0]
+    rid = jax.lax.shift_right_logical(ids, LANE_BITS)
+    oh = jax.nn.one_hot(ids & (LANE - 1), LANE, dtype=g.dtype)
+    grows = oh * g[..., None]
+    return rid.reshape(-1), grows.reshape(-1, LANE)
+
+
+def expand_grads_dedup(ids: jnp.ndarray, g: jnp.ndarray, spec: TableSpec):
+    """FFM slab cotangents with per-example dedup before row expansion.
+
+    Keyed by the window id ``ids >> log2(align)``: equal windows fully
+    overlap (merge their slab vectors); distinct windows in one row occupy
+    disjoint lanes and need no merging (elementwise updates — see
+    :func:`expand_scalar_grads_dedup`). Falls back to expand + row-level
+    dedup for multi-row slabs (F·k > 128).
+    """
+    if spec.rows_per_slab != 1:
+        raise AssertionError("caller must use expand_grads + dedup_rows")
+    pad = spec.align - spec.slab
+    if pad:
+        g = jnp.concatenate([g, jnp.zeros((*g.shape[:-1], pad), g.dtype)], axis=-1)
+    pos_bits = (spec.align - 1).bit_length()  # log2(align)
+    wid = jax.lax.shift_right_logical(ids, pos_bits)
+    if ids.shape[-1] > 1:
+        wid, g = _dedup_runs(wid, g)
+    rid = jax.lax.shift_right_logical(wid, LANE_BITS - pos_bits)
+    P = spec.positions
+    if P == 1:
+        grows = g
+    else:
+        oh = jax.nn.one_hot(wid & (P - 1), P, dtype=g.dtype)
+        grows = jnp.einsum("...p,...a->...pa", oh, g).reshape(*g.shape[:-1], LANE)
+    return rid.reshape(-1), grows.reshape(-1, LANE)

@@ -380,20 +380,31 @@ def make_sharded_train_step(model: FwModel, mesh, exchange: str = "auto",
 
         # -- sharded row updates --------------------------------------------
         B = dlogit.shape[0]  # local batch
-        rid_flat, grows_lr = tables.expand_scalar_grads(lr_aux, g_lr)
-        if model.opt_lr.has_state:
-            # per-example dedup before any collective: the reference updates
-            # each weight once per example with the summed gradient
-            rid_flat, grows_lr = tables.dedup_rows(rid_flat, grows_lr, B)
+        # per-example dedup before any collective: the reference updates
+        # each weight once per example with the summed gradient. The
+        # pre-expansion dedup (ops/tables.py) is used when batch_mean is
+        # off, mirroring train/step.py.
+        if model.opt_lr.has_state and not model.opt_lr.batch_mean:
+            lr_ids, _ = model.lr_ids_combos(batch)
+            rid_flat, grows_lr = tables.expand_scalar_grads_dedup(lr_ids, g_lr)
+        else:
+            rid_flat, grows_lr = tables.expand_scalar_grads(lr_aux, g_lr)
+            if model.opt_lr.has_state:
+                rid_flat, grows_lr = tables.dedup_rows(rid_flat, grows_lr, B)
         new_params["lr_w"], lr_acc = row_update(
             model.opt_lr, params["lr_w"], params.get("lr_acc"), rid_flat, grows_lr)
         if lr_acc is not None:
             new_params["lr_acc"] = lr_acc
 
         if has_ffm:
-            rid_flat, grows_ffm = tables.expand_grads(ffm_aux, g_emb, model.ffm_spec)
-            if model.opt_ffm.has_state:
-                rid_flat, grows_ffm = tables.dedup_rows(rid_flat, grows_ffm, B)
+            if (model.opt_ffm.has_state and not model.opt_ffm.batch_mean
+                    and model.ffm_spec.rows_per_slab == 1):
+                rid_flat, grows_ffm = tables.expand_grads_dedup(
+                    batch["ffm_ids"], g_emb, model.ffm_spec)
+            else:
+                rid_flat, grows_ffm = tables.expand_grads(ffm_aux, g_emb, model.ffm_spec)
+                if model.opt_ffm.has_state:
+                    rid_flat, grows_ffm = tables.dedup_rows(rid_flat, grows_ffm, B)
             new_params["ffm_w"], ffm_acc = row_update(
                 model.opt_ffm, params["ffm_w"], params.get("ffm_acc"),
                 rid_flat, grows_ffm)

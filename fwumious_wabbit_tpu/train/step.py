@@ -245,11 +245,18 @@ def make_train_step(model: FwModel):
         from ..ops import tables
 
         B = dlogit.shape[0]
-        rid_lr, grows_lr = tables.expand_scalar_grads(lr_aux, g_lr)
-        if model.opt_lr.has_state:
-            # reference semantics: per example, sum a weight's contributions
-            # and update once — acc gets (Σg)², not Σg²
-            rid_lr, grows_lr = tables.dedup_rows(rid_lr, grows_lr, B)
+        # reference semantics: per example, sum a weight's contributions and
+        # update once — acc gets (Σg)², not Σg². Deduping the pre-expansion
+        # scalars/slabs costs 128/P× less HBM than deduping [K,128] rows;
+        # batch_mean keeps the row-level path so its per-row multiplicity
+        # counts are unchanged.
+        if model.opt_lr.has_state and not model.opt_lr.batch_mean:
+            lr_ids, _ = model.lr_ids_combos(batch)
+            rid_lr, grows_lr = tables.expand_scalar_grads_dedup(lr_ids, g_lr)
+        else:
+            rid_lr, grows_lr = tables.expand_scalar_grads(lr_aux, g_lr)
+            if model.opt_lr.has_state:
+                rid_lr, grows_lr = tables.dedup_rows(rid_lr, grows_lr, B)
         new_params["lr_w"], lr_acc = model.opt_lr.apply_rows(
             params["lr_w"], params.get("lr_acc"), rid_lr, grows_lr
         )
@@ -257,9 +264,15 @@ def make_train_step(model: FwModel):
             new_params["lr_acc"] = lr_acc
 
         if has_ffm:
-            rid_ffm, grows_ffm = tables.expand_grads(ffm_aux, g_emb, model.ffm_spec)
-            if model.opt_ffm.has_state:
-                rid_ffm, grows_ffm = tables.dedup_rows(rid_ffm, grows_ffm, B)
+            if (model.opt_ffm.has_state and not model.opt_ffm.batch_mean
+                    and model.ffm_spec.rows_per_slab == 1):
+                rid_ffm, grows_ffm = tables.expand_grads_dedup(
+                    batch["ffm_ids"], g_emb, model.ffm_spec
+                )
+            else:
+                rid_ffm, grows_ffm = tables.expand_grads(ffm_aux, g_emb, model.ffm_spec)
+                if model.opt_ffm.has_state:
+                    rid_ffm, grows_ffm = tables.dedup_rows(rid_ffm, grows_ffm, B)
             new_params["ffm_w"], ffm_acc = model.opt_ffm.apply_rows(
                 params["ffm_w"], params.get("ffm_acc"), rid_ffm, grows_ffm
             )

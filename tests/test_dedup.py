@@ -179,3 +179,62 @@ def test_dedup_noop_without_duplicates():
     w2, a2 = opt.apply_rows(w, acc, rid_d, grows_d)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6, atol=1e-7)
+
+
+def test_expand_dedup_fast_paths_match_row_dedup():
+    """expand_scalar_grads_dedup / expand_grads_dedup must produce update
+    streams whose net scatter effect is identical to expand + dedup_rows
+    (same per-(example,weight) summed gradients)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    B, W = 16, 8
+    nrows = 64
+
+    # LR: ids with deliberate duplicates inside an example
+    ids = jnp.asarray(rng.integers(0, nrows * tables.LANE, (B, W)), jnp.int32)
+    ids = ids.at[:, 1].set(ids[:, 0])  # guaranteed dup
+    g = jnp.asarray(rng.normal(size=(B, W)).astype(np.float32))
+
+    table = jnp.zeros((nrows, tables.LANE), jnp.float32)
+    _, aux = tables.gather_scalars(table, ids)
+    rid_a, grows_a = tables.expand_scalar_grads(aux, g)
+    rid_a, grows_a = tables.dedup_rows(rid_a, grows_a, B)
+    rid_b, grows_b = tables.expand_scalar_grads_dedup(ids, g)
+
+    def net(rid, grows):
+        out = np.zeros((nrows, tables.LANE), np.float32)
+        np.add.at(out, np.asarray(rid), np.asarray(grows))
+        return out
+
+    np.testing.assert_allclose(net(rid_b, grows_b), net(rid_a, grows_a),
+                               rtol=1e-6, atol=1e-6)
+    # (Σg)² dedup semantics: squared contributions must also match, since
+    # each (example, weight) appears at most once in both streams
+    np.testing.assert_allclose(net(rid_b, grows_b**2), net(rid_a, grows_a**2),
+                               rtol=1e-6, atol=1e-6)
+
+    # FFM slabs: k=4, two fields → slab 8, align 8 (16 windows per row)
+    spec = tables.make_spec(nrows * tables.LANE, 8)
+    N = 6
+    fids = jnp.asarray(rng.integers(0, spec.logical_size, (B, N)), jnp.int32)
+    fids = fids.at[:, 1].set(fids[:, 0])
+    gs = jnp.asarray(rng.normal(size=(B, N, 8)).astype(np.float32))
+
+    ftable = jnp.zeros((spec.num_rows, tables.LANE), jnp.float32)
+    _, faux = tables.gather(ftable, fids, spec)
+    rid_a, grows_a = tables.expand_grads(faux, gs, spec)
+    rid_a, grows_a = tables.dedup_rows(rid_a, grows_a, B)
+    rid_b, grows_b = tables.expand_grads_dedup(fids, gs, spec)
+
+    def fnet(rid, grows, sq=False):
+        out = np.zeros((spec.num_rows, tables.LANE), np.float32)
+        np.add.at(out, np.asarray(rid),
+                  np.asarray(grows) ** 2 if sq else np.asarray(grows))
+        return out
+
+    np.testing.assert_allclose(fnet(rid_b, grows_b), fnet(rid_a, grows_a),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(fnet(rid_b, grows_b, sq=True),
+                               fnet(rid_a, grows_a, sq=True),
+                               rtol=1e-6, atol=1e-6)
