@@ -176,3 +176,23 @@ def test_fuzz_against_python(tmp_path):
     np.testing.assert_allclose(nb["lr_vals"][:, : pb.lr_vals.shape[1]], pb.lr_vals, rtol=1e-6)
     np.testing.assert_array_equal(nb["ffm_ids"][:, : pb.ffm_ids.shape[1]], pb.ffm_ids)
     np.testing.assert_allclose(nb["ffm_vals"][:, : pb.ffm_vals.shape[1]], pb.ffm_vals, rtol=1e-6)
+
+
+def test_native_multibyte_namespaces(tmp_path):
+    """C++ parser must produce the Python parser's records for multi-char
+    vw namespace names (reference golden: src/parser.rs:1018-1062)."""
+    (tmp_path / "vw_namespace_map.csv").write_text(
+        "AA,featureA\nBB,featureB\nCC,featureC\n")
+    vw = VwNamespaceMap.from_dataset_dir(str(tmp_path / "data.vw"))
+    args = build_parser().parse_args(
+        ["--linear", "featureA", "--linear", "featureB",
+         "-b", "18", "--adaptive", "--data", "x"])
+    mi = ModelInstance.from_cmdline(args, vw)
+    lines = [b"1 |AA a\n", b"1 |AA:3 a:2.0\n", b"-1 |BB b |CC c:0.5\n",
+             b"|AA a b c\n"]
+    parser = VowpalParser(vw)
+    ni = native.NativeIngest(mi, vw, num_threads=1)
+    ni.translate_block(b"".join(lines))
+    np.testing.assert_array_equal(
+        ni.records(),
+        np.concatenate([parser.parse_line(l) for l in lines]))

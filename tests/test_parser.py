@@ -156,3 +156,17 @@ def test_record_roundtrip_through_stream(parser):
     r2 = parser.next_vowpal(data)
     assert r2[1] == 0
     assert parser.next_vowpal(data).size == 0
+
+
+def test_multibyte_namespaces():
+    """Multi-char vw namespace names hash with the namespace-name seed
+    (golden from reference: src/parser.rs:1018-1062)."""
+    vw = VwNamespaceMap.from_string("AA,featureA\nBB,featureB\nCC,featureC\n")
+    parser = VowpalParser(vw)
+    aa = 292540976 & MASK31
+    check(parser, "1 |AA a\n", [6, 1, FLOAT32_ONE, aa, NO_FEATURES, NO_FEATURES])
+    check(
+        parser, "1 |AA:3 a:2.0\n",
+        [8, 1, FLOAT32_ONE, nd(6, 8) | IS_NOT_SINGLE_MASK, NO_FEATURES,
+         NO_FEATURES, aa, f32bits(6.0)],
+    )
