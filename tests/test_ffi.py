@@ -280,3 +280,21 @@ def test_ffi_error_paths(tmp_path):
     # unparseable line → -1.0 error code (reference: src/lib.rs:47-48)
     assert pred.predict(b"garbage\n") == -1.0
     pred.close()
+
+
+def test_ffi_cache_edge_cases(tmp_path):
+    """The reference's prefix-cache edge cases (src/parser.rs:1106-1182):
+    a fully-cached request (empty delta) and an empty cached context
+    (whole line arrives as delta) must both equal the full predict."""
+    path, _mi, _vw = trained_model(tmp_path)
+    pred = native.EmbeddedPredictor(f"-i {path}")
+    line = b"1 |A cat mouse |C ctx1 ctx2 |B milk\n"
+
+    # fully cached: the delta adds nothing
+    pred.setup_cache(line)
+    assert abs(pred.predict(line) - pred.predict_with_cache(b"\n")) < 1e-6
+
+    # empty cache: everything arrives as the delta
+    pred.setup_cache(b"\n")
+    assert abs(pred.predict(line) - pred.predict_with_cache(line)) < 1e-6
+    pred.close()
