@@ -364,6 +364,50 @@ void fwn_fill(void* p, int64_t B, int64_t L, int64_t N, float* label,
                  lr_vals, lr_combos, ffm_ids, ffm_vals, ffm_fields);
 }
 
+// Per-batch multiplicity counts for the batch-mean cap (ops/adagrad.py
+// batch_mean_grads): out[i] = number of non-padding entries in the batch
+// whose key (ids[j] >> shift) equals entry i's key, clipped to 65535
+// (counts can only exceed that when one weight repeats >2x per example on
+// average; the clip then under-scales by at most W/cap online updates).
+// mark[i] < 0 marks a padding slot (combo/field int8 arrays); padding gets
+// count 0. LSD byte-radix sort of (key, entry-index) packed in u64 —
+// sequential passes stay cache-friendly where an open-addressing table
+// thrashed (measured 22 ms hashed vs ~14 ms radix at K=512k); replaces a
+// ~32 ms device-side sort per step. Constant key bytes skip their pass.
+void fwn_batch_counts(const int32_t* ids, const int8_t* mark, int64_t K,
+                      int32_t shift, uint16_t* out) {
+  std::vector<uint64_t> cur;
+  cur.reserve(size_t(K));
+  uint32_t seen = 0;
+  for (int64_t i = 0; i < K; i++) {
+    if (mark[i] < 0) { out[i] = 0; continue; }
+    uint32_t key = uint32_t(ids[i]) >> shift;
+    seen |= key;
+    cur.push_back((uint64_t(key) << 24) | uint64_t(i));
+  }
+  size_t n = cur.size();
+  std::vector<uint64_t> nxt(n);
+  for (int pass = 0; pass < 4; pass++) {
+    if (((seen >> (8 * pass)) & 0xFF) == 0) continue;
+    int bit = 24 + 8 * pass;
+    size_t hist[257] = {0};
+    for (size_t i = 0; i < n; i++) hist[((cur[i] >> bit) & 0xFF) + 1]++;
+    for (int b = 0; b < 256; b++) hist[b + 1] += hist[b];
+    for (size_t i = 0; i < n; i++) nxt[hist[(cur[i] >> bit) & 0xFF]++] = cur[i];
+    cur.swap(nxt);
+  }
+  // run-length counts over the sorted keys, written back via the index
+  for (size_t s = 0; s < n;) {
+    uint64_t key = cur[s] >> 24;
+    size_t e = s + 1;
+    while (e < n && (cur[e] >> 24) == key) e++;
+    uint64_t c = e - s;
+    uint16_t c16 = uint16_t(c > 65535 ? 65535 : c);
+    for (size_t j = s; j < e; j++) out[cur[j] & 0xFFFFFF] = c16;
+    s = e;
+  }
+}
+
 // standalone hashing (tests / tooling)
 uint32_t fwn_murmur3(const char* data, int64_t len, uint32_t seed) {
   return murmur3_32(reinterpret_cast<const uint8_t*>(data), size_t(len), seed);

@@ -201,7 +201,7 @@ class ScopedOptimizer:
             upd = flex_update(gsum, acc_new, self.learning_rate, self.power_t)
         return w - upd, acc_new
 
-    def apply_rows(self, w, acc, rid, grows):
+    def apply_rows(self, w, acc, rid, grows, counts=None):
         """Sparse update of a row table (see ops/tables.py) — only touched
         rows move through HBM, never the full table.
 
@@ -218,7 +218,18 @@ class ScopedOptimizer:
         post-bump rate — the batch form of sequential per-example updates.
         """
         if self.batch_mean:
-            grows = batch_mean_grads(w.shape[0], rid, grows, self.batch_cap)
+            if counts is not None:
+                # host-precomputed multiplicities ([K] u16, 0 on padding):
+                # the ~14 ms C++ radix pass replaces a ~32 ms device sort
+                # AND moves it off the device onto the pipelined producer.
+                # Keyed per weight (LR) / per window (FFM) — the same
+                # granularity as the device path's per-lane run counts.
+                c = jnp.maximum(counts.astype(jnp.float32), 1.0)
+                grows = grows * jnp.minimum(
+                    jnp.float32(1.0), jnp.float32(self.batch_cap) / c
+                )[:, None]
+            else:
+                grows = batch_mean_grads(w.shape[0], rid, grows, self.batch_cap)
         if self._use_pallas(w.shape[0], rid.shape[0]):
             from .pallas.sparse_update import sparse_adagrad_update
 

@@ -257,8 +257,15 @@ def make_train_step(model: FwModel):
             rid_lr, grows_lr = tables.expand_scalar_grads(lr_aux, g_lr)
             if model.opt_lr.has_state:
                 rid_lr, grows_lr = tables.dedup_rows(rid_lr, grows_lr, B)
+        # host-precomputed multiplicity counts (see loop.native_batch_stream);
+        # only valid while the dedup above preserves entry order (the
+        # pairwise path, W <= 128)
+        lr_counts = batch.get("lr_counts")
+        if lr_counts is not None and rid_lr.shape[0] // B > 128:
+            lr_counts = None
         new_params["lr_w"], lr_acc = model.opt_lr.apply_rows(
-            params["lr_w"], params.get("lr_acc"), rid_lr, grows_lr
+            params["lr_w"], params.get("lr_acc"), rid_lr, grows_lr,
+            counts=None if lr_counts is None else lr_counts.reshape(-1),
         )
         if lr_acc is not None:
             new_params["lr_acc"] = lr_acc
@@ -273,8 +280,14 @@ def make_train_step(model: FwModel):
                 rid_ffm, grows_ffm = tables.expand_grads(ffm_aux, g_emb, model.ffm_spec)
                 if model.opt_ffm.has_state:
                     rid_ffm, grows_ffm = tables.dedup_rows(rid_ffm, grows_ffm, B)
+            ffm_counts = batch.get("ffm_counts")
+            if ffm_counts is not None and (
+                    model.ffm_spec.rows_per_slab != 1
+                    or rid_ffm.shape[0] // B > 128):
+                ffm_counts = None
             new_params["ffm_w"], ffm_acc = model.opt_ffm.apply_rows(
-                params["ffm_w"], params.get("ffm_acc"), rid_ffm, grows_ffm
+                params["ffm_w"], params.get("ffm_acc"), rid_ffm, grows_ffm,
+                counts=None if ffm_counts is None else ffm_counts.reshape(-1),
             )
             if ffm_acc is not None:
                 new_params["ffm_acc"] = ffm_acc

@@ -222,3 +222,73 @@ def test_batch_mean_grads_fuzz_vs_scatter_oracle():
                                           jnp.asarray(g), cap))
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7,
                                    err_msg=f"trial {trial}")
+
+
+def test_host_counts_match_device_counts(tmp_path):
+    """The C++ fwn_batch_counts multiplicities must equal the device sort's
+    per-weight run counts for a batch with no within-example duplicates and
+    no zero gradients — the regime where host and device counting are
+    defined to agree."""
+    import numpy as np
+
+    from fwumious_wabbit_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(3)
+    B, W, nrows = 64, 8, 32
+    # per-example UNIQUE ids (host counts pre-dedup; keep the regimes equal)
+    ids = np.stack([
+        rng.choice(nrows * 128, W, replace=False).astype(np.int32)
+        for _ in range(B)
+    ])
+    mark = np.zeros((B, W), np.int8)
+
+    class NI:
+        _lib = native.load()
+        batch_counts = native.NativeIngest.batch_counts
+
+    host = NI().batch_counts(ids, mark, 0).astype(np.int64)
+
+    flat = ids.reshape(-1)
+    expected = np.zeros_like(flat)
+    from collections import Counter
+    c = Counter(flat.tolist())
+    expected = np.array([c[i] for i in flat]).reshape(B, W)
+    np.testing.assert_array_equal(host, expected)
+
+
+def test_apply_rows_host_counts_equals_sort_path():
+    """apply_rows with precomputed counts must equal the sort-based
+    batch_mean path when counts match (unique ids per example, nonzero g)."""
+    import numpy as np
+
+    from fwumious_wabbit_tpu.ops import tables
+    from fwumious_wabbit_tpu.ops.adagrad import OPT_ADAGRAD_LUT, ScopedOptimizer
+
+    rng = np.random.default_rng(5)
+    nrows, B, W = 64, 32, 4
+    ids = np.stack([
+        rng.choice(nrows * 128, W, replace=False).astype(np.int32)
+        for _ in range(B)
+    ])
+    g = rng.normal(size=(B, W)).astype(np.float32)
+    g[g == 0] = 0.5
+
+    opt = ScopedOptimizer(OPT_ADAGRAD_LUT, 0.1, 0.0, 0.0, batch_mean=True,
+                          pallas_mode="off")
+    w0 = jnp.asarray(rng.normal(size=(nrows, 128)).astype(np.float32))
+    acc0 = jnp.zeros((nrows, 128), jnp.float32)
+
+    rid, grows = tables.expand_scalar_grads_dedup(jnp.asarray(ids), jnp.asarray(g))
+    w_a, acc_a = opt.apply_rows(w0, acc0, rid, grows)
+
+    from collections import Counter
+    c = Counter(ids.reshape(-1).tolist())
+    counts = jnp.asarray(
+        np.array([c[i] for i in ids.reshape(-1)], np.uint16))
+    w_b, acc_b = opt.apply_rows(w0, acc0, rid, grows, counts=counts)
+
+    np.testing.assert_allclose(np.asarray(w_b), np.asarray(w_a), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc_b), np.asarray(acc_a), rtol=1e-6)
