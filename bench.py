@@ -141,10 +141,13 @@ def bench_decomposition(rows: int) -> dict:
     mi = ModelInstance.from_cmdline(args, vw)
 
     # -- ingest only (and keep a few batches for the other phases)
+    # count_keys mirrors the production loop: the Eat-Rate config is
+    # power_t 0 → batch_mean on → host multiplicity counts ride the batch
     staged = []
     count = 0
     t0 = time.perf_counter()
-    for bd, k in native_batch_stream(args, mi, vw, 32768):
+    for bd, k in native_batch_stream(args, mi, vw, 32768,
+                                     count_keys={"lr": 0}):
         if len(staged) < 4:
             staged.append(bd)
         count += k

@@ -365,17 +365,26 @@ void fwn_fill(void* p, int64_t B, int64_t L, int64_t N, float* label,
 }
 
 // Per-batch multiplicity counts for the batch-mean cap (ops/adagrad.py
-// batch_mean_grads): out[i] = number of non-padding entries in the batch
-// whose key (ids[j] >> shift) equals entry i's key, clipped to 65535
-// (counts can only exceed that when one weight repeats >2x per example on
-// average; the clip then under-scales by at most W/cap online updates).
-// mark[i] < 0 marks a padding slot (combo/field int8 arrays); padding gets
-// count 0. LSD byte-radix sort of (key, entry-index) packed in u64 —
+// batch_mean_grads): out[i] encodes the number of non-padding entries in
+// the batch whose key (ids[j] >> shift) equals entry i's key; padding
+// (mark[i] < 0) gets 0. Encoding is an 8-bit soft-float to keep the
+// host->device transfer small: codes 0..15 are exact counts; above that,
+// code = e<<3 | (m-8) with c rounded UP to (8+m)<<(e-3) — at most 12.5%
+// high, i.e. the cap only ever gets (slightly) more conservative.
+// Counting is an LSD byte-radix sort of (key, entry-index) packed in u64 —
 // sequential passes stay cache-friendly where an open-addressing table
-// thrashed (measured 22 ms hashed vs ~14 ms radix at K=512k); replaces a
-// ~32 ms device-side sort per step. Constant key bytes skip their pass.
+// thrashed (measured 22 ms hashed vs ~14 ms radix at K=512k); it replaces
+// a ~32 ms device-side sort per step. Constant key bytes skip their pass.
+static inline uint8_t encode_count(uint64_t c) {
+  if (c <= 15) return uint8_t(c);
+  int e = 63 - __builtin_clzll(c);          // floor(log2 c), e >= 4
+  uint64_t m = (c + ((1ull << (e - 3)) - 1)) >> (e - 3);  // round up
+  if (m == 16) { e++; m = 8; }
+  return uint8_t((e << 3) | (m - 8));       // 32..255
+}
+
 void fwn_batch_counts(const int32_t* ids, const int8_t* mark, int64_t K,
-                      int32_t shift, uint16_t* out) {
+                      int32_t shift, uint8_t* out) {
   std::vector<uint64_t> cur;
   cur.reserve(size_t(K));
   uint32_t seen = 0;
@@ -401,9 +410,8 @@ void fwn_batch_counts(const int32_t* ids, const int8_t* mark, int64_t K,
     uint64_t key = cur[s] >> 24;
     size_t e = s + 1;
     while (e < n && (cur[e] >> 24) == key) e++;
-    uint64_t c = e - s;
-    uint16_t c16 = uint16_t(c > 65535 ? 65535 : c);
-    for (size_t j = s; j < e; j++) out[cur[j] & 0xFFFFFF] = c16;
+    uint8_t c8 = encode_count(e - s);
+    for (size_t j = s; j < e; j++) out[cur[j] & 0xFFFFFF] = c8;
     s = e;
   }
 }

@@ -219,12 +219,17 @@ class ScopedOptimizer:
         """
         if self.batch_mean:
             if counts is not None:
-                # host-precomputed multiplicities ([K] u16, 0 on padding):
-                # the ~14 ms C++ radix pass replaces a ~32 ms device sort
-                # AND moves it off the device onto the pipelined producer.
-                # Keyed per weight (LR) / per window (FFM) — the same
-                # granularity as the device path's per-lane run counts.
-                c = jnp.maximum(counts.astype(jnp.float32), 1.0)
+                # host-precomputed multiplicities ([K], 0 on padding): the
+                # ~14 ms C++ radix pass replaces a ~32 ms device sort AND
+                # moves it off the device onto the pipelined producer
+                # (measured step 72 → 31.5 ms at B=32k, power_t 0). Keyed
+                # per weight (LR) / per window (FFM) — the same granularity
+                # as the device path's per-lane run counts. uint8 arrays are
+                # soft-float codes (see decode_counts).
+                c = counts
+                if c.dtype == jnp.uint8:
+                    c = decode_counts(c)
+                c = jnp.maximum(c.astype(jnp.float32), 1.0)
                 grows = grows * jnp.minimum(
                     jnp.float32(1.0), jnp.float32(self.batch_cap) / c
                 )[:, None]
@@ -249,6 +254,38 @@ class ScopedOptimizer:
         else:
             upd = flex_update(grows, acc_rows, self.learning_rate, self.power_t)
         return w.at[rid].add(-upd), acc_new
+
+
+def encode_counts(c: np.ndarray) -> np.ndarray:
+    """NumPy mirror of the native engine's 8-bit count encoding
+    (fw_native.cpp encode_count) for the Python-ingest path: 0–15 exact,
+    ``e<<3 | (m−8)`` with c rounded UP above. Keeps both engines
+    bit-identical on batch-mean configs."""
+    c = np.asarray(c, np.int64)
+    out = c.astype(np.uint8)
+    big = c > 15
+    if big.any():
+        cb = c[big]
+        e = np.floor(np.log2(cb)).astype(np.int64)
+        m = -(-cb // (1 << np.maximum(e - 3, 0)))  # ceil divide
+        bump = m == 16
+        e[bump] += 1
+        m[bump] = 8
+        out[big] = ((e << 3) | (m - 8)).astype(np.uint8)
+    return out
+
+
+def decode_counts(code: jnp.ndarray) -> jnp.ndarray:
+    """Decode the native engine's 8-bit soft-float multiplicity codes
+    (fw_native.cpp encode_count): 0–15 exact; above that
+    ``c = (8 + (code & 7)) << ((code >> 3) − 3)``, rounded up on encode so
+    the batch-mean cap only ever gets ≤12.5% more conservative. Keeps the
+    host→device counts array at 1 byte per entry."""
+    code = code.astype(jnp.int32)
+    e = jax.lax.shift_right_logical(code, 3)
+    m = code & 7
+    big = jax.lax.shift_left(8 + m, jnp.maximum(e - 3, 0))
+    return jnp.where(code < 16, code, big).astype(jnp.float32)
 
 
 def batch_mean_grads(num_rows: int, rid, grows, cap: float = 8.0):

@@ -545,11 +545,36 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     else:
         pending: list = []
 
+        def np_counts(ids, vals, shift):
+            """NumPy multiplicity counts for the Python-ingest path, coded
+            identically to the native engine's (ops/adagrad.encode_counts).
+            Entries with value 0 (incl. padding) are excluded — their
+            gradient is 0, matching the device path's touched-only counts."""
+            from ..ops.adagrad import encode_counts
+
+            keys = ids.astype(np.uint32) >> shift
+            real = (vals != 0.0).reshape(-1)
+            flat = keys.reshape(-1)
+            c = np.zeros(flat.shape, np.int64)
+            if real.any():
+                u, inv, cnt = np.unique(flat[real], return_inverse=True,
+                                        return_counts=True)
+                c[real] = cnt[inv]
+            return encode_counts(c).reshape(ids.shape)
+
         def flush(params):
             if not pending:
                 return params
             batch = batcher.make_batch(pending)
-            params = process(params, _batch_dict(batch), batch.num_examples)
+            bd = _batch_dict(batch)
+            if count_keys is not None:
+                if "lr" in count_keys:
+                    bd["lr_counts"] = np_counts(
+                        batch.lr_ids, batch.lr_vals, count_keys["lr"])
+                if "ffm" in count_keys and batch.ffm_ids.size:
+                    bd["ffm_counts"] = np_counts(
+                        batch.ffm_ids, batch.ffm_vals, count_keys["ffm"])
+            params = process(params, bd, batch.num_examples)
             pending.clear()
             return params
 

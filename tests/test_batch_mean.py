@@ -249,13 +249,16 @@ def test_host_counts_match_device_counts(tmp_path):
         _lib = native.load()
         batch_counts = native.NativeIngest.batch_counts
 
-    host = NI().batch_counts(ids, mark, 0).astype(np.int64)
+    from fwumious_wabbit_tpu.ops.adagrad import decode_counts
+
+    host = np.asarray(decode_counts(jnp.asarray(
+        NI().batch_counts(ids, mark, 0)))).astype(np.int64)
 
     flat = ids.reshape(-1)
-    expected = np.zeros_like(flat)
     from collections import Counter
     c = Counter(flat.tolist())
     expected = np.array([c[i] for i in flat]).reshape(B, W)
+    # counts here are small (W=8 draws over 4096 keys) — codes are exact
     np.testing.assert_array_equal(host, expected)
 
 
@@ -292,3 +295,31 @@ def test_apply_rows_host_counts_equals_sort_path():
 
     np.testing.assert_allclose(np.asarray(w_b), np.asarray(w_a), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(acc_b), np.asarray(acc_a), rtol=1e-6)
+
+
+def test_count_code_roundtrip():
+    """The u8 soft-float count encoding: exact to 15, rounded UP within
+    12.5% above (the cap only gets more conservative), monotone."""
+    import numpy as np
+
+    from fwumious_wabbit_tpu import native
+    from fwumious_wabbit_tpu.ops.adagrad import decode_counts
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+
+    class NI:
+        _lib = native.load()
+        batch_counts = native.NativeIngest.batch_counts
+
+    ni = NI()
+    for c in [1, 2, 7, 15, 16, 17, 100, 255, 256, 1000, 32768, 524288]:
+        ids = np.zeros((1, c), np.int32)  # c entries of one key
+        mark = np.zeros((1, c), np.int8)
+        if c > 1 << 16:
+            ids = np.zeros((c // 64, 64), np.int32)
+            mark = np.zeros((c // 64, 64), np.int8)
+        code = ni.batch_counts(ids, mark, 0)
+        dec = float(np.asarray(decode_counts(jnp.asarray(code))).ravel()[0])
+        assert dec >= c, (c, dec)           # rounded up, never down
+        assert dec <= c * 1.125 + 1, (c, dec)
