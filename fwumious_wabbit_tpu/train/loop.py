@@ -162,8 +162,8 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
     """Yield (batch_dict, n_examples) using the C++ ingest engine
     (fwumious_wabbit_tpu/native): text or cache records are translated in
     parallel and scattered straight into padded arrays. Behaviourally
-    identical to the Python path (cross-checked in tests); widths are
-    bucketed to powers of two so the train step compiles for few shapes.
+    identical to the Python path (cross-checked in tests); padded widths are
+    exact with a high-water mark, so a stable schema compiles one shape.
 
     ``cut_at``: an absolute example number a block must not cross (the
     train/holdout boundary). Line blocks are cut conservatively by line
@@ -173,6 +173,19 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
 
     ni = fw_native.NativeIngest(mi, vw)
     input_filename = args.data
+    # high-water exact batch widths: padded width only ever grows (one jit
+    # re-specialization per growth, usually none — schemas have a fixed
+    # entry count). Power-of-two bucketing cost 18% pure padding on the
+    # 13-wide Eat-Rate schema, straight into the transfer and scatter
+    # streams. Floor of 4 avoids degenerate sub-lane widths.
+    hw = {"L": 4, "N": 4 if mi.ffm_k > 0 else 0}
+
+    def widths():
+        lmax, nmax = ni.widths()
+        hw["L"] = max(hw["L"], lmax)
+        if mi.ffm_k > 0:
+            hw["N"] = max(hw["N"], nmax)
+        return hw["L"], hw["N"]
     use_cache = bool(getattr(args, "cache", False))
     cpath = fwcache.cache_path_for(input_filename)
     emitted = 0
@@ -246,9 +259,7 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
                 tail = buf[consumed * 4:]
                 if n == 0:
                     continue
-                lmax, nmax = ni.widths()
-                L = _bucket_pow2(lmax)
-                N = _bucket_pow2(nmax) if mi.ffm_k > 0 else 0
+                L, N = widths()
                 s = 0
                 while s < n:
                     cap = min(block_cap(), n - s)
@@ -305,9 +316,7 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
                 continue
             if writer is not None:
                 writer.push_record(ni.records())
-            lmax, nmax = ni.widths()
-            L = _bucket_pow2(lmax)
-            N = _bucket_pow2(nmax) if mi.ffm_k > 0 else 0
+            L, N = widths()
             s = 0
             while s < n:
                 cap = min(block_cap(), n - s)
