@@ -194,3 +194,27 @@ def test_ffm_update_batch_consistency():
     params = model.init_params()
     params2, p2 = step(model.init_params(), b2)
     assert_eps(p2[0], p2[1])
+
+
+def test_ffm_missing_field():
+    """Three fields where only the middle one has features: the collapsed
+    (contra) embeddings of empty fields must act as zeros, and training on
+    such examples must not corrupt them (reference: src/block_ffm.rs:1882 —
+    guards against uninitialized contra sums for featureless fields)."""
+    mi = make_ffm_mi(Optimizer.ADAGRAD_FLEX, k=1, num_fields=3)
+    model = FwModel(mi)
+    params = ones_ffm(model, model.init_params())
+    predict = make_predict_step(model)
+    train = make_train_step(model)
+
+    # single feature in field 1 only: no pair both-present → logit 0 → 0.5
+    feats = [(5, 1.0, 1)]
+    assert_eps(predict(params, ffm_batch(feats))[0], 0.5)
+
+    # train a step on it: empty fields own no touched rows, so a feature
+    # later appearing in field 0 must still see the pristine (ones) weights.
+    # (p_ref first: the train step donates its params buffers)
+    p_ref = float(predict(params, ffm_batch([(64, 1.0, 0), (128, 1.0, 2)]))[0])
+    params2, _ = train(params, ffm_batch(feats, label=1.0))
+    p_pair = float(predict(params2, ffm_batch([(64, 1.0, 0), (128, 1.0, 2)]))[0])
+    assert_eps(p_pair, p_ref)
