@@ -286,6 +286,18 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         "runs": [round(r, 1) for r in runs],
     }
 
+    def checkpoint():
+        _partial({
+            "metric": f"end-to-end train examples/s (Eat-Rate benchmark "
+                      f"schema, {rows} rows, b=25 AdaGrad, --interactions AB)",
+            "value": round(ex_s, 1),
+            "unit": "examples/s",
+            "vs_baseline": round(ex_s / BASELINE, 3),
+            **extras,
+        })
+
+    checkpoint()
+
     # secondary metrics on stderr (the driver records stdout's single line):
     # predict-only (-t) and cache-train, the reference's other two headline
     # modes (BENCHMARK.md:20-22: 788k cache-train, 592k predict)
@@ -294,12 +306,14 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         run_train_loop(pargs, mi, vw, model)       # builds the cache
         r = run_train_loop(pargs, mi, vw, model)   # trains from the cache
         extras["cache_train_ex_s"] = round(r["examples"] / r["elapsed"])
+        checkpoint()
         print(f"# cache-train: {r['examples']/r['elapsed']:,.0f} ex/s (ref 788k)",
               file=sys.stderr)
         targs = build_parser().parse_args(argv + ["-t"])
         run_train_loop(targs, mi, vw, model)       # compile warmup
         r = run_train_loop(targs, mi, vw, model)
         extras["predict_ex_s"] = round(r["examples"] / r["elapsed"])
+        checkpoint()
         print(f"# predict: {r['examples']/r['elapsed']:,.0f} ex/s (ref 592k)",
               file=sys.stderr)
 
@@ -316,11 +330,13 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         run_train_loop(fargs, fmi, vw, fmodel)     # warm (reuses cache)
         r = run_train_loop(fargs, fmi, vw, fmodel)
         extras["ffm_train_ex_s"] = round(r["examples"] / r["elapsed"])
+        checkpoint()
         print(f"# ffm-train (k=8, cache): {r['examples']/r['elapsed']:,.0f} "
               f"ex/s (reference has no published FFM number)", file=sys.stderr)
 
     try:
         extras["decomposition"] = bench_decomposition(rows)
+        checkpoint()
     except Exception as e:  # noqa: BLE001 — decomposition is diagnostic
         print(f"# decomposition failed: {e}", file=sys.stderr)
 
@@ -435,7 +451,64 @@ def bench_device_step(bits: int = 25) -> dict:
     }
 
 
+def _partial(d: dict) -> None:
+    """Persist the best-so-far result for the watchdog parent (see main)."""
+    path = os.environ.get("FWT_BENCH_PARTIAL")
+    if path:
+        try:
+            with open(path, "w") as f:
+                json.dump(d, f)
+        except OSError:
+            pass
+
+
+def _watchdog_main() -> None:
+    """Run the real bench in a child process under a wall-clock deadline.
+
+    The axon device tunnel can hang a remote-compile RPC indefinitely
+    (observed: >20 min inside backend_compile_and_load with 0 CPU). The
+    driver needs ONE JSON line on stdout no matter what, so the parent
+    kills the child's own process group at the deadline and emits the
+    child's last persisted partial result (or an explicit failure stub).
+    """
+    import signal
+    import subprocess
+
+    CACHE_DIR.mkdir(exist_ok=True)
+    partial = str(CACHE_DIR / "bench_partial.json")
+    try:
+        os.unlink(partial)
+    except OSError:
+        pass
+    env = dict(os.environ, FWT_BENCH_CHILD="1", FWT_BENCH_PARTIAL=partial)
+    deadline = float(os.environ.get("FWT_BENCH_DEADLINE", "540"))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+        env=env, start_new_session=True,
+    )
+    try:
+        sys.exit(proc.wait(timeout=deadline))
+    except subprocess.TimeoutExpired:
+        os.killpg(proc.pid, signal.SIGKILL)  # the exact group we created
+        proc.wait()
+        try:
+            with open(partial) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            d = {"metric": "end-to-end train examples/s (bench aborted "
+                           "before any pass finished)",
+                 "value": 0.0, "unit": "examples/s", "vs_baseline": 0.0}
+        d["incomplete"] = (f"watchdog killed the bench after {deadline:.0f}s "
+                           "(hung device RPC); value is the last completed "
+                           "phase")
+        print(json.dumps(d))
+        sys.exit(0)
+
+
 def main():
+    if os.environ.get("FWT_BENCH_CHILD") != "1":
+        _watchdog_main()
+        return
     if "--cpu" in sys.argv:
         import jax
 
