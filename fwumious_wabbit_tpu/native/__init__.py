@@ -94,8 +94,8 @@ def _configure(lib):
     lib.fwn_set_build_records.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.fwn_all_ones.restype = ctypes.c_int
     lib.fwn_all_ones.argtypes = [ctypes.c_void_p]
-    lib.fwn_batch_counts.argtypes = [P(i32), P(i8), i64, ctypes.c_int32,
-                                     P(ctypes.c_uint8)]
+    lib.fwn_batch_counts.argtypes = [P(i32), P(i8), P(f32), i64,
+                                     ctypes.c_int32, P(ctypes.c_uint8)]
     lib.fwn_murmur3.restype = u32
     lib.fwn_murmur3.argtypes = [ctypes.c_char_p, i64, u32]
     lib.fwn_format_preds.restype = i64
@@ -375,18 +375,28 @@ class NativeIngest:
         }
 
     def batch_counts(self, ids: np.ndarray, mark: np.ndarray,
-                     shift: int = 0) -> np.ndarray:
+                     shift: int = 0,
+                     vals: np.ndarray | None = None) -> np.ndarray:
         """Per-entry multiplicity of (id >> shift) over the whole batch as
         8-bit soft-float codes (exact to 15, rounded UP within 12.5% above;
         decode with ops.adagrad.decode_counts), 0 on padding slots
         (mark < 0) — the host side of the batch-mean cap, computed by a
-        ~14 ms radix pass here instead of a ~32 ms device sort per step."""
+        ~14 ms radix pass here instead of a ~32 ms device sort per step.
+
+        ``vals``: optional per-entry feature values; entries with value 0
+        are excluded (zero gradient → not 'touched'), matching the Python
+        oracle (train/loop.py np_counts) and the device path. Pass None
+        when the values are known all-ones."""
         assert ids.dtype == np.int32 and mark.dtype == np.int8
         assert ids.size < (1 << 24)  # entry index packed in 24 bits
+        if vals is not None:
+            assert vals.dtype == np.float32 and vals.size == ids.size
         out = np.zeros(ids.shape, np.uint8)
         self._lib.fwn_batch_counts(
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             mark.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            None if vals is None
+            else vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             ids.size, shift,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         return out

@@ -383,13 +383,22 @@ static inline uint8_t encode_count(uint64_t c) {
   return uint8_t((e << 3) | (m - 8));       // 32..255
 }
 
-void fwn_batch_counts(const int32_t* ids, const int8_t* mark, int64_t K,
+void fwn_batch_counts(const int32_t* ids, const int8_t* mark,
+                      const float* vals, int64_t K,
                       int32_t shift, uint8_t* out) {
   std::vector<uint64_t> cur;
   cur.reserve(size_t(K));
   uint32_t seen = 0;
   for (int64_t i = 0; i < K; i++) {
-    if (mark[i] < 0) { out[i] = 0; continue; }
+    // skip padding AND explicit zero-valued features (vals may be null
+    // when the engine proved the value array all-ones): a zero-valued
+    // entry has zero gradient, so the device path's touched-only counts
+    // and the Python oracle (train/loop.py np_counts) both exclude it —
+    // counting it here would desynchronize the two ingest engines
+    if (mark[i] < 0 || (vals != nullptr && vals[i] == 0.0f)) {
+      out[i] = 0;
+      continue;
+    }
     uint32_t key = uint32_t(ids[i]) >> shift;
     seen |= key;
     cur.push_back((uint64_t(key) << 24) | uint64_t(i));
@@ -428,6 +437,35 @@ uint32_t fwn_murmur3(const char* data, int64_t len, uint32_t seed) {
 // scalar loop (~450 ms for 10M weights, above the reference's 300 ms
 // gate); F16C converts 8 lanes per instruction. Rounding is IEEE
 // nearest-even in both, so outputs are bit-identical to numpy's.
+// scalar float->half with IEEE round-to-nearest-even, bit-matching the F16C
+// _cvtss_sh path (and numpy's astype(float16)) including denormal halves and
+// NaN/Inf — so checkpoints quantized on a non-F16C toolchain stay
+// bit-identical to the Python path (persistence/quantization.py).
+static inline uint16_t f32_to_f16_rtne(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  uint32_t sign = (x >> 16) & 0x8000u;
+  uint32_t ax = x & 0x7fffffffu;
+  if (ax >= 0x47800000u)  // >= 65536: overflow to inf; NaN keeps a payload
+    return uint16_t(sign | 0x7c00u | ((ax > 0x7f800000u) ? 0x200u : 0u));
+  uint32_t e = ax >> 23;  // biased f32 exponent
+  if (e < 102) return uint16_t(sign);  // < 2^-25: underflows to signed zero
+  uint32_t m = (ax & 0x7fffffu) | 0x800000u;  // mantissa with implicit bit
+  // normal halves shift out 13 bits; denormal halves shift out more
+  uint32_t shift = (e >= 113) ? 13u : (126u - e);
+  uint32_t r = m & ((1u << shift) - 1u);
+  uint32_t half = 1u << (shift - 1u);
+  uint32_t v = m >> shift;
+  if (r > half || (r == half && (v & 1u))) v++;
+  if (e >= 113)  // v in [1024, 2048]: the +v carries into the exponent
+    return uint16_t(sign | (((e - 112u) << 10) - 1024u + v));
+  return uint16_t(sign | v);  // v <= 1024: denormal (or rounds up to normal)
+}
+
+// test hook: the portable scalar conversion regardless of toolchain F16C —
+// lets the suite assert bit-parity with numpy on every build
+uint16_t fwn_f32_to_f16_scalar(float f) { return f32_to_f16_rtne(f); }
+
 void fwn_quantize_buckets(const float* w, int64_t n, float mn, float inc,
                           uint16_t* out) {
   // true division (not reciprocal-multiply): the numpy path divides, and
@@ -449,17 +487,7 @@ void fwn_quantize_buckets(const float* w, int64_t n, float mn, float inc,
 #if defined(__F16C__)
     out[i] = _cvtss_sh(x, _MM_FROUND_TO_NEAREST_INT);
 #else
-    // scalar fallback: truncate via the well-known float->half bit path
-    uint32_t b;
-    std::memcpy(&b, &x, 4);
-    uint32_t sign = (b >> 16) & 0x8000u;
-    int32_t exp = int32_t((b >> 23) & 0xff) - 127 + 15;
-    uint32_t man = b & 0x7fffffu;
-    uint16_t h;
-    if (exp <= 0) h = uint16_t(sign);
-    else if (exp >= 31) h = uint16_t(sign | 0x7c00u);
-    else h = uint16_t(sign | (uint32_t(exp) << 10) | (man >> 13));
-    out[i] = h;
+    out[i] = f32_to_f16_rtne(x);
 #endif
   }
 }

@@ -285,7 +285,7 @@ def sparse_adagrad_update(w, acc, rid, grows, lr, power_t, iag,
     if kind == OPT_SGD:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(n_chunks,),
-            in_specs=[chunk_spec, pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[chunk_spec, pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[chunk_spec],
             scratch_shapes=scratch,
         )
@@ -301,7 +301,7 @@ def sparse_adagrad_update(w, acc, rid, grows, lr, power_t, iag,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(n_chunks,),
         in_specs=[chunk_spec, chunk_spec,
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[chunk_spec, chunk_spec],
         scratch_shapes=scratch,
     )

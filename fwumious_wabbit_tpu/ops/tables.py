@@ -199,32 +199,57 @@ def expand_scalar_grads(aux, g: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 
-def dedup_rows(rid: jnp.ndarray, grows: jnp.ndarray, batch: int):
+def dedup_rows(rid: jnp.ndarray, grows: jnp.ndarray, batch: int,
+               keys: jnp.ndarray | None = None):
     """Segment-sum each example's gradient rows with equal row id.
 
     The reference sums all of one example's contributions to a weight and
     updates it ONCE, so the AdaGrad accumulator receives ``(Σg)²`` — not the
     per-occurrence ``Σg²`` (reference: src/block_ffm.rs:265-288, SPEED.md;
     duplicates arise from the same feature repeated in a namespace or LR
-    combo hash collisions). This sorts each example's occurrences by row id,
-    sums runs of equal ids onto the run's first occurrence and zeroes the
-    rest; the subsequent scatter in ``apply_rows`` then performs exactly one
-    ``(Σg)²`` bump and one rated update per (example, row). Lanes never mix
-    within a row, so per-*weight* semantics hold for both the LR one-hot-lane
-    layout and FFM slabs.
+    combo hash collisions). Each example's occurrences with equal row id are
+    run-summed onto the first occurrence, the rest zeroed; the subsequent
+    scatter in ``apply_rows`` then performs exactly one ``(Σg)²`` bump and
+    one rated update per (example, row). Lanes never mix within a row, so
+    per-*weight* semantics hold for both the LR one-hot-lane layout and FFM
+    slabs.
 
     ``rid [K]`` int32, ``grows [K, 128]`` with ``K = batch·W``; returns
-    same-shape ``(rid, grows)``. Cost: a per-example sort plus run-summing
-    via cumulative sums — O(B·W·128), no [B, W, W] one-hot (which would
-    materialize gigabytes for wide schemas). Duplicates also stop colliding
-    in the scatter, which XLA would otherwise serialize.
+    same-shape ``(rid, grows)``. Two paths (see :func:`_dedup_runs`): a
+    pairwise equality + one-hot contraction for moderate widths (order-
+    preserving, no sort) and a sort-and-run-sum fallback for wide inputs.
+
+    ``keys``: optional ``[batch, W]`` finer-grained merge keys (feature id
+    for LR, window id for FFM). When host-side multiplicity counts ride the
+    batch (``--fwt_batch_mean``), entries must only merge when their *count
+    key* matches — merging two same-row entries with different keys would
+    scale the merged row by the first entry's count only. Same-row
+    different-key entries occupy disjoint lanes, so leaving them unmerged
+    changes nothing for the scatter or the accumulator.
     """
     K = rid.shape[0]
     W = K // batch
     if W <= 1:
         return rid, grows
-    r_s, g_d = _dedup_runs(rid.reshape(batch, W), grows.reshape(batch, W, LANE))
+    if dedup_preserves_order(batch, W):
+        k2 = rid.reshape(batch, W) if keys is None else keys
+        _, g_d = _dedup_pairwise(k2, grows.reshape(batch, W, LANE))
+        return rid, g_d.reshape(-1, LANE)
+    r_s, g_d = _dedup_sort(rid.reshape(batch, W),
+                           grows.reshape(batch, W, LANE))
     return r_s.reshape(-1), g_d.reshape(-1, LANE)
+
+
+# the pairwise path's [B, W, W] f32 equality tensor must stay bounded: at
+# B=32768 it is 2 GB for W=128. Above the budget the sort path takes over.
+_PAIRWISE_EQ_BUDGET_BYTES = 128 << 20
+
+
+def dedup_preserves_order(batch: int, W: int) -> bool:
+    """True when dedup keeps entry order (the pairwise path) — the
+    precondition for host-precomputed per-entry multiplicity counts riding
+    the batch (train/step.py); the sort fallback reorders entries."""
+    return W <= 128 and batch * W * W * 4 <= _PAIRWISE_EQ_BUDGET_BYTES
 
 
 def _dedup_runs(keys: jnp.ndarray, payload: jnp.ndarray):
@@ -234,23 +259,32 @@ def _dedup_runs(keys: jnp.ndarray, payload: jnp.ndarray):
     ``keys [B, W]`` int32, ``payload [B, W, P]``; returns same-shape
     ``(keys, payload_dedup)``.
 
-    For the widths that occur in practice (W ≤ 128 entries/example) this is
-    a pairwise comparison + one-hot contraction — B·W²·P MXU flops, no sort.
-    A TPU sort of [B, W] along the minor axis measured ~10 ms at B=32k even
-    for W=4 (XLA variadic sort is the wrong tool at these shapes); the
-    pairwise form is ~50 µs. Very wide inputs fall back to the
-    sort-and-run-sum path.
+    Two paths. For moderate widths, a pairwise comparison + one-hot
+    contraction — B·W²·P MXU flops, order-preserving, no sort (a TPU sort of
+    [B, W] along the minor axis measured ~10 ms at B=32k even for W=4; the
+    pairwise form is ~50 µs) — but its [B, W, W] equality tensor is gated by
+    ``_PAIRWISE_EQ_BUDGET_BYTES`` (it would be ~2 GB at B=32k, W=128). Wide
+    inputs take the sort-and-run-sum path, which reorders entries.
     """
     B, W = keys.shape
-    if W <= 128:
-        eq = keys[:, :, None] == keys[:, None, :]  # [B, W, W]
-        dup_before = jnp.tril(eq, k=-1).any(axis=2)
-        totals = jnp.einsum(
-            "bij,bjp->bip", eq.astype(payload.dtype), payload
-        )
-        p_d = jnp.where(~dup_before[:, :, None], totals,
-                        jnp.zeros((), payload.dtype))
-        return keys, p_d
+    if dedup_preserves_order(B, W):
+        return _dedup_pairwise(keys, payload)
+    return _dedup_sort(keys, payload)
+
+
+def _dedup_pairwise(keys: jnp.ndarray, payload: jnp.ndarray):
+    eq = keys[:, :, None] == keys[:, None, :]  # [B, W, W]
+    dup_before = jnp.tril(eq, k=-1).any(axis=2)
+    totals = jnp.einsum(
+        "bij,bjp->bip", eq.astype(payload.dtype), payload
+    )
+    p_d = jnp.where(~dup_before[:, :, None], totals,
+                    jnp.zeros((), payload.dtype))
+    return keys, p_d
+
+
+def _dedup_sort(keys: jnp.ndarray, payload: jnp.ndarray):
+    B, W = keys.shape
     order = jnp.argsort(keys, axis=1)
     k_s = jnp.take_along_axis(keys, order, axis=1)
     p_s = jnp.take_along_axis(payload, order[:, :, None], axis=1)

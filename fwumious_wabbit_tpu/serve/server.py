@@ -16,9 +16,10 @@ Design differences from the reference, TPU-motivated:
   reference's per-line loop — the batched step amortizes dispatch overhead
   across candidates in a request).
 
-``--foreground`` keeps the process attached; otherwise the caller is
-expected to manage daemonization (we deliberately do not fork; container
-runtimes supervise the process instead).
+``--foreground`` keeps the process attached; otherwise the CLI daemonizes
+by classic double-fork BEFORE any JAX backend initialization (forking after
+the backend's client threads start is unsafe) — see train/loop.py
+``_daemonize`` (reference: src/serving.rs:215-225).
 """
 
 from __future__ import annotations

@@ -209,12 +209,15 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
             # device-side sort per step (ops/adagrad.batch_mean_grads;
             # measured step 72 -> 31.5 ms at B=32k). Computed on the
             # pre-pack masked ids with the padding marks still present.
+            flags0 = ni.all_ones_flags()
             if "lr" in count_keys:
                 bd["lr_counts"] = ni.batch_counts(
-                    bd["lr_ids"], bd["lr_combos"], count_keys["lr"])
+                    bd["lr_ids"], bd["lr_combos"], count_keys["lr"],
+                    vals=None if flags0 & 1 else bd["lr_vals"])
             if "ffm" in count_keys and mi.ffm_k > 0:
                 bd["ffm_counts"] = ni.batch_counts(
-                    bd["ffm_ids"], bd["ffm_fields"], count_keys["ffm"])
+                    bd["ffm_ids"], bd["ffm_fields"], count_keys["ffm"],
+                    vals=None if flags0 & 2 else bd["ffm_vals"])
         flags = ni.all_ones_flags()
         if flags & 1:
             del bd["lr_vals"]

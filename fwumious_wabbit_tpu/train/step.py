@@ -27,6 +27,9 @@ import jax
 import jax.numpy as jnp
 
 from ..models.model import FwModel, normalize_predict, predict_prob
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
 
 
 def _tower_forward(model: FwModel, dense, x, train: bool):
@@ -256,12 +259,25 @@ def make_train_step(model: FwModel):
         else:
             rid_lr, grows_lr = tables.expand_scalar_grads(lr_aux, g_lr)
             if model.opt_lr.has_state:
-                rid_lr, grows_lr = tables.dedup_rows(rid_lr, grows_lr, B)
+                # merge keyed by the feature id (not the row): counts are
+                # per weight, and merging two same-row different-lane
+                # entries would scale the merged row by the first entry's
+                # count only (same-row different-lane entries are disjoint
+                # and need no merge — the scatter is elementwise)
+                lr_ids, _ = model.lr_ids_combos(batch)
+                rid_lr, grows_lr = tables.dedup_rows(
+                    rid_lr, grows_lr, B, keys=lr_ids)
         # host-precomputed multiplicity counts (see loop.native_batch_stream);
         # only valid while the dedup above preserves entry order (the
-        # pairwise path, W <= 128)
+        # pairwise path — the wide-input sort fallback reorders entries)
         lr_counts = batch.get("lr_counts")
-        if lr_counts is not None and rid_lr.shape[0] // B > 128:
+        if lr_counts is not None and not tables.dedup_preserves_order(
+                B, rid_lr.shape[0] // B):
+            log.warning(
+                "batch-mean: dropping host multiplicity counts (entry width "
+                "%d too wide for the order-preserving dedup path); the "
+                "device-side sort computes them instead (~2x step cost)",
+                rid_lr.shape[0] // B)
             lr_counts = None
         new_params["lr_w"], lr_acc = model.opt_lr.apply_rows(
             params["lr_w"], params.get("lr_acc"), rid_lr, grows_lr,
@@ -279,11 +295,27 @@ def make_train_step(model: FwModel):
             else:
                 rid_ffm, grows_ffm = tables.expand_grads(ffm_aux, g_emb, model.ffm_spec)
                 if model.opt_ffm.has_state:
-                    rid_ffm, grows_ffm = tables.dedup_rows(rid_ffm, grows_ffm, B)
+                    # merge keyed by the window id so host counts (keyed the
+                    # same way) stay aligned: same-row different-window
+                    # entries occupy disjoint lanes and must not merge into
+                    # a row scaled by one window's count
+                    keys = None
+                    if model.ffm_spec.rows_per_slab == 1:
+                        pos_bits = (model.ffm_spec.align - 1).bit_length()
+                        keys = jax.lax.shift_right_logical(
+                            batch["ffm_ids"], pos_bits)
+                    rid_ffm, grows_ffm = tables.dedup_rows(
+                        rid_ffm, grows_ffm, B, keys=keys)
             ffm_counts = batch.get("ffm_counts")
             if ffm_counts is not None and (
                     model.ffm_spec.rows_per_slab != 1
-                    or rid_ffm.shape[0] // B > 128):
+                    or not tables.dedup_preserves_order(
+                        B, rid_ffm.shape[0] // B)):
+                log.warning(
+                    "batch-mean: dropping host ffm multiplicity counts "
+                    "(multi-row slabs or entry width too wide for the "
+                    "order-preserving dedup); device-side sort computes "
+                    "them instead (~2x step cost)")
                 ffm_counts = None
             new_params["ffm_w"], ffm_acc = model.opt_ffm.apply_rows(
                 params["ffm_w"], params.get("ffm_acc"), rid_ffm, grows_ffm,

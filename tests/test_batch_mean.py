@@ -323,3 +323,72 @@ def test_count_code_roundtrip():
         dec = float(np.asarray(decode_counts(jnp.asarray(code))).ravel()[0])
         assert dec >= c, (c, dec)           # rounded up, never down
         assert dec <= c * 1.125 + 1, (c, dec)
+
+
+def test_batch_counts_exclude_zero_valued_features():
+    """fwn_batch_counts must skip explicit zero-valued entries (zero
+    gradient → not 'touched'), matching the Python-oracle np_counts and the
+    device path (advisor r2 finding): both engines must count the same."""
+    import numpy as np
+
+    from fwumious_wabbit_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+
+    class NI:
+        _lib = native.load()
+        batch_counts = native.NativeIngest.batch_counts
+
+    ids = np.array([[5, 5, 9], [5, 9, 9]], np.int32)
+    mark = np.zeros((2, 3), np.int8)
+    mark[1, 2] = -1  # padding
+    vals = np.array([[1.0, 0.0, 2.0], [3.0, 1.0, 0.0]], np.float32)
+
+    code = NI().batch_counts(ids, mark, 0, vals=vals)
+    from fwumious_wabbit_tpu.ops.adagrad import decode_counts
+    got = np.asarray(decode_counts(jnp.asarray(code)))
+    # nonzero-valued occurrences: id 5 x2 ([0,0],[1,0]), id 9 x2 ([0,2],[1,1])
+    # zero-valued/padding slots report 0 (decoded 0 -> max(c,1) in the cap)
+    want = np.array([[2, 0, 2], [2, 2, 0]], np.float32)
+    np.testing.assert_array_equal(got, want)
+
+    # the Python-ingest oracle (train/loop.py np_counts) must agree
+    from fwumious_wabbit_tpu.ops.adagrad import encode_counts
+    keys = ids.astype(np.uint32)
+    real = (vals != 0.0) & (mark >= 0)
+    flat = keys.reshape(-1)
+    c = np.zeros(flat.shape, np.int64)
+    u, inv, cnt = np.unique(flat[real.reshape(-1)], return_inverse=True,
+                            return_counts=True)
+    c[real.reshape(-1)] = cnt[inv]
+    np.testing.assert_array_equal(code, encode_counts(c).reshape(ids.shape))
+
+
+def test_dedup_rows_key_restricted_merge():
+    """dedup_rows(keys=...) must merge only equal-key entries: same-row
+    different-key entries keep separate payloads so per-entry host counts
+    stay aligned (advisor r2 finding on ffm windows / lr lanes)."""
+    import numpy as np
+
+    from fwumious_wabbit_tpu.ops import tables
+
+    B, W = 2, 4
+    # example 0: entries 0,1 share row 3 but have DIFFERENT keys; entries
+    # 2,3 share row 5 with the SAME key
+    rid = np.array([[3, 3, 5, 5], [7, 7, 7, 2]], np.int32)
+    keys = np.array([[30, 31, 50, 50], [70, 70, 71, 20]], np.int32)
+    g = np.zeros((B * W, 128), np.float32)
+    g[:, 0] = [1, 2, 4, 8, 16, 32, 64, 128]
+
+    rid_out, g_out = tables.dedup_rows(
+        jnp.asarray(rid.reshape(-1)), jnp.asarray(g), B,
+        keys=jnp.asarray(keys))
+    rid_out = np.asarray(rid_out).reshape(B, W)
+    lane0 = np.asarray(g_out)[:, 0].reshape(B, W)
+
+    np.testing.assert_array_equal(rid_out, rid)  # order preserved
+    # ex0: different keys on row 3 -> NOT merged; same key on row 5 -> merged
+    np.testing.assert_array_equal(lane0[0], [1, 2, 12, 0])
+    # ex1: keys 70,70 merge; 71 stays; 20 separate row
+    np.testing.assert_array_equal(lane0[1], [48, 0, 64, 128])

@@ -49,3 +49,35 @@ def test_quantize_roundtrip_error_bound():
     idx = np.abs((w - w.min()) / inc)
     tol = inc * (0.5 + idx / 1024.0)
     assert np.all(np.abs(out - w) <= tol + 1e-7)
+
+
+def test_scalar_f16_fallback_bit_identical_to_numpy():
+    """The portable scalar float->half (used when the toolchain lacks F16C)
+    must round to nearest-even and handle denormals — bit-identical to
+    numpy's conversion — so quantized checkpoints are byte-stable across
+    toolchains (advisor r2 finding)."""
+    import ctypes
+
+    lib = native.load()
+    lib.fwn_f32_to_f16_scalar.restype = ctypes.c_uint16
+    lib.fwn_f32_to_f16_scalar.argtypes = [ctypes.c_float]
+
+    # bucket indices (integers to 65025, where f16 spacing > 1 forces real
+    # rounding), exact ties, denormal halves, random floats, edge cases
+    xs = np.concatenate([
+        np.arange(0, 70000, 7, dtype=np.float32),
+        np.array([2049.0, 2051.0, 2050.0, 4098.0, 4102.0], np.float32),  # ties
+        np.float32(2.0) ** np.arange(-30, 18).astype(np.float32),
+        np.array([6.1e-5, 5.96e-8, 2.98e-8, 2.0e-8, 1.0e-10, 0.0, -0.0,
+                  65504.0, 65520.0, 65536.0, np.inf, -np.inf], np.float32),
+        (np.random.default_rng(0).normal(size=4096) * 100).astype(np.float32),
+        (np.random.default_rng(1).normal(size=1024) * 1e-6).astype(np.float32),
+    ])
+    xs = np.concatenate([xs, -xs])
+    want = xs.astype(np.float16).view(np.uint16)
+    got = np.array([lib.fwn_f32_to_f16_scalar(float(x)) for x in xs],
+                   np.uint16)
+    bad = np.nonzero(got != want)[0]
+    assert bad.size == 0, (
+        f"{bad.size} mismatches, first: x={xs[bad[0]]!r} "
+        f"got={got[bad[0]]:#06x} want={want[bad[0]]:#06x}")
