@@ -116,15 +116,20 @@ def _base_argv(data: Path, batch_size: int = 32768):
 
 
 def bench_decomposition(rows: int) -> dict:
-    """Split the end-to-end pipeline into its three serial resources so a
+    """Split the end-to-end pipeline into its serial resources so a
     tunnel-bound environment is provable rather than asserted:
 
     * ``ingest_ex_s`` — C++ parse+translate+batch-fill only, no device;
-    * ``transfer_ex_s`` — host→device batch transfer only (the tunnel);
-    * ``step_ex_s`` — the jitted train step on device-resident batches.
+    * ``cache_ingest_ex_s`` — same but reading the input cache (no text
+      parse) — the ingest ceiling of cache-train mode;
+    * ``transfer_ex_s`` — host→device transfer of the production payload
+      (a packed superbatch: ONE u32 buffer per K batches, train/packed.py);
+    * ``step_ex_s`` — the packed train step (unpack + K scanned steps) on a
+      device-resident buffer: the device-exclusive rate;
+    * ``fetch_ms`` — one [K, B] prediction fetch (the D2H half of the loop).
 
-    The end-to-end rate can't exceed the pipelined min of the three; the
-    smallest term is the bottleneck to attack."""
+    The end-to-end rate can't exceed the pipelined min of ingest, transfer
+    and step; the smallest term is the bottleneck to attack."""
     import jax
 
     from fwumious_wabbit_tpu.config.cmdline import build_parser
@@ -132,8 +137,9 @@ def bench_decomposition(rows: int) -> dict:
     from fwumious_wabbit_tpu.config.vwmap import VwNamespaceMap
     from fwumious_wabbit_tpu.models.model import FwModel
     from fwumious_wabbit_tpu.train.loop import native_batch_stream
-    from fwumious_wabbit_tpu.train.step import make_train_step
+    from fwumious_wabbit_tpu.train import packed as packed_mod
 
+    K = 8
     n = min(rows, 500_000)
     data = ensure_dataset(rows)
     args = build_parser().parse_args(_base_argv(data))
@@ -148,7 +154,7 @@ def bench_decomposition(rows: int) -> dict:
     t0 = time.perf_counter()
     for bd, k in native_batch_stream(args, mi, vw, 32768,
                                      count_keys={"lr": 0}):
-        if len(staged) < 4:
+        if len(staged) < K:
             staged.append(bd)
         count += k
         if count >= n:
@@ -156,54 +162,66 @@ def bench_decomposition(rows: int) -> dict:
     ingest_s = time.perf_counter() - t0
     ingest_ex_s = count / ingest_s
 
-    # -- transfer only: H2D of real batch payloads, forced to completion
-    batch_bytes = sum(v.nbytes for v in staged[0].values())
-    reps = max(1, min(24, int(3e7 // max(batch_bytes, 1))))
-    put = [jax.device_put(staged[i % len(staged)]) for i in range(2)]  # warm
-    _ = np.asarray(put[0]["label"][:1])  # force
+    # -- cache-read ingest: the cache-train mode's ingest ceiling (records
+    # are read pre-parsed; only translate+fill+counts remain)
+    cache_ingest_ex_s = None
+    try:
+        cargs = build_parser().parse_args(_base_argv(data) + ["-c"])
+        count_c = 0
+        for _bd, k in native_batch_stream(cargs, mi, vw, 32768,
+                                          count_keys={"lr": 0}):
+            count_c += k  # first pass may parse text AND write the cache
+            if count_c >= n:
+                break
+        count_c = 0
+        t0 = time.perf_counter()
+        for _bd, k in native_batch_stream(cargs, mi, vw, 32768,
+                                          count_keys={"lr": 0}):
+            count_c += k
+            if count_c >= n:
+                break
+        cache_ingest_ex_s = count_c / (time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001
+        print(f"# cache-ingest probe failed: {e}", file=sys.stderr)
+
+    # -- transfer only: H2D of the production payload (packed superbatch),
+    # forced to completion
+    while len(staged) < K:
+        staged.append(staged[-1])
+    lay = packed_mod.layout_of(staged[0])
+    buf = packed_mod.pack(lay, staged)
+    batch_bytes = buf.nbytes // K
+    reps = max(2, min(8, int(6e7 // max(buf.nbytes, 1))))
+    warm = jax.device_put(buf)
+    _ = np.asarray(warm[:1, :1])  # force
     t0 = time.perf_counter()
-    outs = []
-    for i in range(reps):
-        outs.append(jax.device_put(staged[i % len(staged)]))
+    outs = [jax.device_put(buf) for _ in range(reps)]
     for o in outs:
-        _ = np.asarray(o["label"][:1])  # force each transfer
+        _ = np.asarray(o[:1, :1])  # force each transfer
     transfer_s = time.perf_counter() - t0
-    transfer_ex_s = reps * 32768 / transfer_s
-    transfer_mb_s = reps * batch_bytes / transfer_s / 1e6
+    transfer_ex_s = reps * K * 32768 / transfer_s
+    transfer_mb_s = reps * buf.nbytes / transfer_s / 1e6
 
-    # -- step only: device-resident batches, donated params, and ALL steps
-    # inside one jitted lax.scan — a single dispatch, so the tunnel's
-    # per-call RPC latency (which bounds the naive loop here) cannot touch
-    # the measurement: this is the device-exclusive rate
-    import jax.numpy as jnp
-
+    # -- step only: the packed train step (unpack + K scanned steps) on the
+    # device-resident buffer — a single dispatch, so the tunnel's per-call
+    # RPC latency cannot touch the measurement
     model = FwModel(mi, precision="default")
-    inner = make_train_step(model)
-    stacked = {
-        k: jax.device_put(np.stack([b[k] for b in staged]))
-        for k in staged[0]
-    }
-    n_stage = len(staged)
-    steps = 32
-
-    def body(params, i):
-        b = {k: v[i % n_stage] for k, v in stacked.items()}
-        params, p = inner(params, b)
-        return params, p[0]
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def scan_run(params):
-        return jax.lax.scan(body, params, jnp.arange(steps, dtype=jnp.int32))
-
+    step_fn = packed_mod.make_packed_train_step(model, lay, K)
     params = model.init_params()
-    params, ps = scan_run(params)
-    _ = float(ps[-1])
-    params = model.init_params()
+    params, preds = step_fn(params, warm)
+    _ = float(preds[0, 0])
+    reps_s = 4
     t0 = time.perf_counter()
-    params, ps = scan_run(params)
-    _ = float(ps[-1])
+    for _ in range(reps_s):
+        params, preds = step_fn(params, warm)
+    _ = float(preds[-1, -1])
     step_s = time.perf_counter() - t0
-    step_ex_s = steps * 32768 / step_s
+    step_ex_s = reps_s * K * 32768 / step_s
+
+    # -- prediction fetch: one [K, B] D2H per superbatch
+    t0 = time.perf_counter()
+    _ = np.asarray(preds)
+    fetch_ms = (time.perf_counter() - t0) * 1e3
     del params
 
     # round-trip floor of this environment: one trivial device call +
@@ -222,16 +240,23 @@ def bench_decomposition(rows: int) -> dict:
         "transfer_ex_s": round(transfer_ex_s),
         "transfer_mb_s": round(transfer_mb_s, 1),
         "step_ex_s": round(step_ex_s),
+        "fetch_ms_per_superbatch": round(fetch_ms, 2),
         "device_roundtrip_ms": round(rt_ms, 2),
         "batch_bytes": batch_bytes,
+        "superbatch": K,
     }
+    if cache_ingest_ex_s is not None:
+        out["cache_ingest_ex_s"] = round(cache_ingest_ex_s)
     bottleneck = min(("ingest", ingest_ex_s), ("transfer", transfer_ex_s),
                      ("step", step_ex_s), key=lambda kv: kv[1])
     out["bottleneck"] = bottleneck[0]
-    print(f"# decomposition: ingest {ingest_ex_s:,.0f}/s, transfer "
-          f"{transfer_ex_s:,.0f}/s ({transfer_mb_s:.0f} MB/s), step "
-          f"{step_ex_s:,.0f}/s, device round-trip {rt_ms:.1f} ms → "
-          f"bottleneck: {bottleneck[0]}", file=sys.stderr)
+    out["min_stage_ex_s"] = round(bottleneck[1])
+    print(f"# decomposition: ingest {ingest_ex_s:,.0f}/s (cache-read "
+          f"{cache_ingest_ex_s or 0:,.0f}/s), transfer "
+          f"{transfer_ex_s:,.0f}/s ({transfer_mb_s:.0f} MB/s, packed x{K}), "
+          f"step {step_ex_s:,.0f}/s, fetch {fetch_ms:.1f} ms/superbatch, "
+          f"round-trip {rt_ms:.1f} ms → bottleneck: {bottleneck[0]}",
+          file=sys.stderr)
     return out
 
 
@@ -253,11 +278,13 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     model = FwModel(mi, precision="default")
 
     # warmup run on a slice to absorb compile time (the reference's numbers
-    # exclude binary build time; XLA compilation is our build step)
+    # exclude binary build time; XLA compilation is our build step). The
+    # slice must cover at least one full superbatch (8 x 32768) so the
+    # packed train step compiles here, not inside the timed runs.
     warm = CACHE_DIR / "warm.vw"
-    if not warm.exists():
+    if not warm.exists() or sum(1 for _ in open(warm)) < 300_000:
         with open(data) as f, open(warm, "w") as g:
-            for _ in range(70000):
+            for _ in range(300_000):
                 g.write(f.readline())
     wargs = build_parser().parse_args(
         [a if a != str(data) else str(warm) for a in argv])
@@ -284,15 +311,20 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         "mean": round(mean, 1),
         "std": round(std, 1),
         "runs": [round(r, 1) for r in runs],
+        "best": round(ex_s, 1),
+        "vs_baseline_best": round(ex_s / BASELINE, 3),
     }
 
     def checkpoint():
+        # headline value/vs_baseline use the MEAN — the reference's table is
+        # 3-run means (BENCHMARK.md:8); best-of stays as a secondary field
+        # because the shared tunnel's bandwidth swings ~10x run to run
         _partial({
             "metric": f"end-to-end train examples/s (Eat-Rate benchmark "
                       f"schema, {rows} rows, b=25 AdaGrad, --interactions AB)",
-            "value": round(ex_s, 1),
+            "value": round(mean, 1),
             "unit": "examples/s",
-            "vs_baseline": round(ex_s / BASELINE, 3),
+            "vs_baseline": round(mean / BASELINE, 3),
             **extras,
         })
 
@@ -309,13 +341,28 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         checkpoint()
         print(f"# cache-train: {r['examples']/r['elapsed']:,.0f} ex/s (ref 788k)",
               file=sys.stderr)
-        targs = build_parser().parse_args(argv + ["-t"])
-        run_train_loop(targs, mi, vw, model)       # compile warmup
-        r = run_train_loop(targs, mi, vw, model)
-        extras["predict_ex_s"] = round(r["examples"] / r["elapsed"])
+        # predict mode the way the reference benchmarks it: load a trained
+        # model file and forward every example (-t -i model). Eligible runs
+        # route through the embedded C++ engine (train/loop.py
+        # run_native_predict) — entirely host-side, no device link.
+        from fwumious_wabbit_tpu.train.loop import main as cli_main
+
+        mpath = CACHE_DIR / "bench_model.fw"
+        run_train_loop(
+            build_parser().parse_args(
+                argv + ["-f", str(mpath), "--save_resume"]),
+            mi, vw, model)
+        pruns = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rc = cli_main(argv + ["-t", "-i", str(mpath)])
+            assert rc == 0
+            pruns.append(rows / (time.perf_counter() - t0))
+        extras["predict_ex_s"] = round(float(np.mean(pruns)))
+        extras["predict_runs"] = [round(r) for r in pruns]
         checkpoint()
-        print(f"# predict: {r['examples']/r['elapsed']:,.0f} ex/s (ref 592k)",
-              file=sys.stderr)
+        print(f"# predict (-t -i, 3-run mean): {np.mean(pruns):,.0f} ex/s "
+              f"(ref 592k)", file=sys.stderr)
 
         # FFM-mode end-to-end (the reference's FFM benchmark block is
         # DISABLED — benchmark.py `and False`; this row is net-new evidence)
@@ -368,12 +415,16 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         print(f"# quantize probe failed: {e}", file=sys.stderr)
 
     extras["peak_rss_mb"] = peak_rss_mb()
+    dec = extras.get("decomposition")
+    if dec and dec.get("min_stage_ex_s"):
+        # how much of the slowest stage's rate the pipelined loop realizes
+        extras["pipeline_efficiency"] = round(mean / dec["min_stage_ex_s"], 3)
     return {
         "metric": f"end-to-end train examples/s (Eat-Rate benchmark schema, "
                   f"{rows} rows, b=25 AdaGrad, --interactions AB)",
-        "value": round(ex_s, 1),
+        "value": round(mean, 1),
         "unit": "examples/s",
-        "vs_baseline": round(ex_s / BASELINE, 3),
+        "vs_baseline": round(mean / BASELINE, 3),
         **extras,
     }
 

@@ -147,6 +147,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--fwt_profile", default=None, metavar="DIR",
                    help="Write a jax.profiler trace of the run to DIR "
                         "(view with TensorBoard / xprof)")
+    g.add_argument("--fwt_superbatch", type=int, default=0, metavar="K",
+                   help="Pack K consecutive train batches into one "
+                        "host→device transfer + one scanned dispatch "
+                        "(amortizes per-RPC link latency; trajectory "
+                        "identical to K separate steps). 0 = auto "
+                        "(8 on the native single-device path), 1 = off")
     return p
 
 

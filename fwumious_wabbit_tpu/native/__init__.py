@@ -103,6 +103,8 @@ def _configure(lib):
 
 
 def _configure_ffi(lib):
+    i64, f32 = ctypes.c_int64, ctypes.c_float
+    P = ctypes.POINTER
     lib.new_fw_predictor_prototype.restype = ctypes.c_void_p
     lib.new_fw_predictor_prototype.argtypes = [ctypes.c_char_p]
     lib.clone_lite.restype = ctypes.c_void_p
@@ -112,6 +114,11 @@ def _configure_ffi(lib):
         fn.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.free_predictor.argtypes = [ctypes.c_void_p]
     lib.fw_ffi_last_error.restype = ctypes.c_char_p
+    lib.fw_predict_block.restype = i64
+    lib.fw_predict_block.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, i64, P(f32), i64, P(i64),
+        P(ctypes.c_int32),
+    ]
 
 
 class EmbeddedPredictor:
@@ -155,6 +162,33 @@ class EmbeddedPredictor:
         if isinstance(delta, str):
             delta = delta.encode()
         return float(self._lib.fw_predict_with_cache(self._ptr, delta))
+
+    # bulk-predict block status codes (fw_ffi.cpp fw_predict_block)
+    BLOCK_OK = 0
+    BLOCK_EOF = 1        # empty line: end of stream
+    BLOCK_FLUSH = 2      # in-band 'flush'
+    BLOCK_HOGWILD = 3    # in-band 'hogwild_load'
+    BLOCK_ERROR = 4      # parse error (message via last_error)
+
+    def predict_block(self, buf: bytes):
+        """Predict every complete VW line in ``buf``.
+
+        Returns ``(preds float32[n], consumed_bytes, status)``; a trailing
+        partial line is left unconsumed for the caller to carry into the
+        next chunk. This is the CLI predict (-t) hot loop — one C call per
+        multi-MB chunk instead of one per line."""
+        cap = buf.count(b"\n") + 1
+        out = np.empty(cap, np.float32)
+        consumed = ctypes.c_int64()
+        status = ctypes.c_int32()
+        n = self._lib.fw_predict_block(
+            self._ptr, buf, len(buf),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+            ctypes.byref(consumed), ctypes.byref(status))
+        return out[:n], consumed.value, status.value
+
+    def last_error(self) -> str:
+        return self._lib.fw_ffi_last_error().decode()
 
     def close(self) -> None:
         if getattr(self, "_ptr", None):

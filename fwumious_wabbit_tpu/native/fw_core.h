@@ -201,6 +201,11 @@ struct Ctx {
   int64_t n_examples = 0;
   int64_t records_consumed = 0;
   int lr_max = 0, ffm_max = 0;
+  // fwn_all_ones result for the CURRENT block, computed lazily once per
+  // translate (-1 = stale). The flags query is per-batch in the hot loop;
+  // rescanning the whole block's value arrays per call measured 21% of
+  // ingest time at B=32k.
+  int all_ones_cache = -1;
 };
 
 // ---------------------------------------------------------------------------

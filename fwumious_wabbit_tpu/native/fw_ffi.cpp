@@ -592,6 +592,8 @@ struct FfmCache {
   std::vector<float> lr_partial;  // per-combo context sums Σ w[h]·v (+const)
 };
 
+extern thread_local std::string g_last_error;  // defined with the C ABI below
+
 struct Predictor {
   std::shared_ptr<Model> model;
   Shard sh;  // scratch translation output
@@ -760,8 +762,8 @@ struct Predictor {
     return 1.0f / (1.0f + std::exp(-logit));
   }
 
-  float predict(const std::string& line) {
-    if (!translate_line(line, false)) return -1.0f;
+  // forward over the example currently translated into ``sh``
+  float forward_translated() {
     const Model& m = *model;
     std::vector<float>& x = sx;
     x.assign(size_t(m.num_combos), 0.0f);
@@ -777,6 +779,55 @@ struct Predictor {
       triangle_outputs(scontra, sdiag, x);
     }
     return finish(x);
+  }
+
+  float predict(const std::string& line) {
+    if (!translate_line(line, false)) return -1.0f;
+    return forward_translated();
+  }
+
+  // Bulk forward over a block of newline-terminated VW lines — the CLI
+  // predict (-t) fast path. The reference's predict mode is exactly this
+  // host-side per-line loop at ~592k lines/s (reference: src/main.rs:
+  // 213-270 with update=false, BENCHMARK.md:22); keeping it on the host
+  // skips the device link entirely. Stops at the first non-example line:
+  // status 0 = consumed what it could (partial tail line stays unconsumed),
+  // 1 = empty line (end-of-stream, reference's size-0 record), 2 = flush
+  // command, 3 = hogwild_load command (both abort a file run, like the
+  // reference's main loop), 4 = parse error (message via
+  // fw_ffi_last_error). Returns the number of predictions written.
+  int64_t predict_block(const char* buf, int64_t len, float* out, int64_t cap,
+                        int64_t* consumed, int32_t* status) {
+    const Model& m = *model;
+    *status = 0;
+    int64_t n_out = 0, i = 0;
+    std::vector<uint32_t> rec;
+    std::string err;
+    while (i < len && n_out < cap) {
+      int64_t j = i;
+      while (j < len && buf[j] != '\n') j++;
+      if (j >= len) break;  // partial tail line: caller carries it over
+      rec.clear();
+      LineKind kind = parse_line(
+          m.cfg, reinterpret_cast<const uint8_t*>(buf + i), size_t(j - i),
+          rec, err);
+      if (kind != LineKind::Example) {
+        *consumed = i;
+        if (kind == LineKind::Empty) *status = 1;
+        else if (kind == LineKind::Flush) *status = 2;
+        else if (kind == LineKind::HogwildLoad) *status = 3;
+        else { g_last_error = err; *status = 4; }
+        return n_out;
+      }
+      sh.clear();
+      translate_record(m.cfg, rec.data(), model->formats, sh, false);
+      sh.lr_start.push_back(int32_t(sh.lr_ids.size()));
+      sh.ffm_start.push_back(int32_t(sh.ffm_ids.size()));
+      out[n_out++] = forward_translated();
+      i = j + 1;
+    }
+    *consumed = i;
+    return n_out;
   }
 
   float setup_cache(const std::string& line) {
@@ -974,6 +1025,18 @@ float fw_setup_cache(void* ptr, const char* input_buffer) {
 float fw_predict_with_cache(void* ptr, const char* input_buffer) {
   if (!ptr || !input_buffer) return -1.0f;
   return static_cast<Predictor*>(ptr)->predict_with_cache(input_buffer);
+}
+
+int64_t fw_predict_block(void* ptr, const char* buf, int64_t len, float* out,
+                         int64_t cap, int64_t* consumed, int32_t* status) {
+  if (!ptr || !buf || !out || !consumed || !status) {
+    if (status) *status = 4;
+    if (consumed) *consumed = 0;
+    g_last_error = "fw_predict_block: null argument";
+    return 0;
+  }
+  return static_cast<Predictor*>(ptr)->predict_block(buf, len, out, cap,
+                                                     consumed, status);
 }
 
 void free_predictor(void* ptr) { delete static_cast<Predictor*>(ptr); }

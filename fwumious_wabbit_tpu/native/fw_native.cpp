@@ -129,6 +129,7 @@ static std::vector<int> slot_formats(const Config& c) {
 // and the run exits); they are only meaningful on the serving socket.
 int64_t fwn_translate_block(void* p, const char* buf, int64_t len) {
   auto* ctx = static_cast<Ctx*>(p);
+  ctx->all_ones_cache = -1;
   const Config& cfg = ctx->cfg;
   const auto* data = reinterpret_cast<const uint8_t*>(buf);
 
@@ -225,6 +226,7 @@ int64_t fwn_translate_block(void* p, const char* buf, int64_t len) {
 // words were processed); callers carry the tail into the next chunk.
 int64_t fwn_translate_records(void* p, const uint32_t* recs, int64_t words) {
   auto* ctx = static_cast<Ctx*>(p);
+  ctx->all_ones_cache = -1;
   const Config& cfg = ctx->cfg;
   auto formats = slot_formats(cfg);
   for (auto& sh : ctx->shards) sh.clear();
@@ -271,6 +273,7 @@ void fwn_set_build_records(void* p, int on) {
 // Lets the host skip transferring arrays the device can reconstruct as ones.
 int fwn_all_ones(void* p) {
   auto* ctx = static_cast<Ctx*>(p);
+  if (ctx->all_ones_cache >= 0) return ctx->all_ones_cache;
   int flags = 7;
   for (auto& sh : ctx->shards) {
     if (flags & 1)
@@ -292,6 +295,7 @@ int fwn_all_ones(void* p) {
           break;
         }
   }
+  ctx->all_ones_cache = flags;
   return flags;
 }
 int fwn_ffm_max(void* p) { return static_cast<Ctx*>(p)->ffm_max; }

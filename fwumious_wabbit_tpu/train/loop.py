@@ -335,6 +335,86 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
             writer.write_finish()
 
 
+def native_predict_eligible(args) -> bool:
+    """True when --testonly should run on the embedded C++ engine: the
+    reference's predict mode is a host-side per-line forward loop
+    (reference: src/main.rs:213-270 with update=false, ~592k lines/s,
+    BENCHMARK.md:22); the embedded engine does the identical forward at
+    ~1M lines/s with zero device-link round-trips. Requires a model FILE
+    (-i) — the engine loads weights itself. Falls back to the device path
+    for: cache-driven runs (-c keeps the reference's cache read/write
+    semantics), multi-device meshes, --fwt_serve_engine device, or
+    --fwt_no_native."""
+    return bool(
+        getattr(args, "testonly", False)
+        and getattr(args, "initial_regressor", None)
+        and getattr(args, "data", None)
+        and not getattr(args, "cache", False)
+        and not getattr(args, "fwt_no_native", False)
+        and (getattr(args, "fwt_serve_engine", "auto") or "auto") != "device"
+        and int(getattr(args, "fwt_table_axis", 1) or 1) <= 1
+        and (getattr(args, "fwt_data_axis", None) in (None, 1))
+        and not getattr(args, "prediction_model_delay", None)
+    )
+
+
+def run_native_predict(args, pred=None) -> dict:
+    """--testonly via the embedded C++ engine (see native_predict_eligible).
+
+    Streams the input file in chunks through fw_predict_block; behavior
+    matches the device loop: predictions '{:.6f}' after --predictions_after,
+    empty line ends the stream, in-band commands abort the run like the
+    reference (src/main.rs:218-221)."""
+    from .. import native as fw_native
+
+    if pred is None:
+        pred = fw_native.EmbeddedPredictor(f"-i {args.initial_regressor}")
+    writer = PredictionWriter(
+        getattr(args, "predictions", None),
+        bool(getattr(args, "predictions_stdout", False)),
+    )
+    predictions_after = int(getattr(args, "predictions_after", None) or 0)
+    stream = create_buffered_input(args.data)
+    t0 = time.time()
+    n_done = 0
+    CHUNK = 16 << 20
+    tail = b""
+    try:
+        while True:
+            raw = stream.read(CHUNK)
+            if not raw:
+                if not tail:
+                    break
+                # un-terminated final line
+                buf, at_eof = tail + b"\n", True
+            else:
+                buf, at_eof = tail + raw, False
+            preds, consumed, status = pred.predict_block(buf)
+            tail = buf[consumed:]
+            if preds.size:
+                first_num = n_done + 1
+                n_done += preds.size
+                skip = max(0, predictions_after - first_num + 1)
+                writer.write_block(preds[skip:])
+            if status == fw_native.EmbeddedPredictor.BLOCK_EOF:
+                break
+            if status == fw_native.EmbeddedPredictor.BLOCK_FLUSH:
+                raise FlushCommand("flush")
+            if status == fw_native.EmbeddedPredictor.BLOCK_HOGWILD:
+                raise HogwildLoadCommand("hogwild_load")
+            if status == fw_native.EmbeddedPredictor.BLOCK_ERROR:
+                raise ValueError(pred.last_error())
+            if at_eof:
+                break
+    finally:
+        writer.close()
+        pred.close()
+    elapsed = time.time() - t0
+    log.info("Elapsed: %.2fs rows: %d (%.0f ex/s) [native predict engine]",
+             elapsed, n_done, n_done / max(elapsed, 1e-9))
+    return {"params": None, "examples": n_done, "elapsed": elapsed}
+
+
 def _use_native(args, mi) -> bool:
     if getattr(args, "fwt_no_native", False):
         return False
@@ -435,7 +515,8 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         try:
             while (item := _wq.get()) is not None:
                 preds, first_num, n = item
-                preds = np.asarray(preds)[:n]
+                # [B] from a single step or [K, B] from a packed one
+                preds = np.asarray(preds).reshape(-1)[:n]
                 skip = max(0, predictions_after - first_num + 1)
                 writer.write_block(preds[skip:])
         except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
@@ -512,20 +593,70 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
 
         import jax
 
+        from . import packed as packed_mod
+
         # three-stage pipeline: C++ ingest, host→device transfer, and step
         # dispatch each on their own thread. Both ingest and device_put
         # release the GIL, and on a high-latency link (the axon tunnel:
         # 25-270 MB/s, ~34 ms RPC) the transfer otherwise serializes with
         # dispatch+drain on the consumer — measured 202k → ~330k ex/s
         # end-to-end from overlapping it (bench.py decomposition).
+        #
+        # Superbatching (train/packed.py): K consecutive full train batches
+        # pack into ONE u32 buffer = one device_put RPC (each leaf of a
+        # batch dict otherwise pays the link's ~35 ms per-call latency),
+        # one scanned dispatch, one [K, B] prediction fetch. Trajectory is
+        # identical to K separate steps. Groups never span the
+        # train/holdout boundary; partial/tail batches go unpacked.
+        K = int(getattr(args, "fwt_superbatch", 0) or 0)
+        if K <= 0:
+            K = 8
+        can_pack = (K > 1 and shard_batch_fn is None and delay == 0
+                    and not testonly and train_step is not None)
+
         q: queue.Queue = queue.Queue(maxsize=3)
         q2: queue.Queue = queue.Queue(maxsize=3)
 
         def producer():
             try:
+                group: list = []
+                glay = None
+                seen = 0
+
+                def flush_group():
+                    nonlocal group, glay
+                    if not group:
+                        return
+                    if len(group) == K:
+                        q.put(("p", packed_mod.pack(glay, group), glay,
+                               K * batch_size))
+                    else:
+                        # short tail: unpacked (a K'-sized packed step would
+                        # compile a whole new program for one group)
+                        for bd in group:
+                            q.put(("s", bd, batch_size))
+                    group, glay = [], None
+
                 for bd, n in native_batch_stream(args, mi, vw, batch_size,
                                                  cut_at, count_keys):
-                    q.put((bd, n))
+                    lay = None
+                    if (can_pack and n == batch_size
+                            and (holdout_after is None or seen < cut_at)):
+                        lay = packed_mod.layout_of(bd)
+                    if lay is not None and (
+                            glay is None or lay.signature == glay.signature):
+                        group.append(bd)
+                        glay = lay
+                        if len(group) == K:
+                            flush_group()
+                    else:
+                        flush_group()
+                        if lay is not None:
+                            group, glay = [bd], lay
+                        else:
+                            q.put(("s", bd, n))
+                    seen += n
+                flush_group()
                 q.put(None)
             except BaseException as e:  # noqa: BLE001 — re-raised downstream
                 q.put(e)
@@ -537,10 +668,14 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     if item is None or isinstance(item, BaseException):
                         q2.put(item)
                         return
-                    bd, n = item
-                    bd = shard_batch_fn(bd) if shard_batch_fn is not None \
-                        else jax.device_put(bd)
-                    q2.put((bd, n))
+                    if item[0] == "p":
+                        _, buf, lay, gn = item
+                        q2.put(("p", jax.device_put(buf), lay, gn))
+                    else:
+                        _, bd, n = item
+                        bd = shard_batch_fn(bd) if shard_batch_fn is not None \
+                            else jax.device_put(bd)
+                        q2.put(("s", bd, n))
             except BaseException as e:  # noqa: BLE001 — re-raised on consumer
                 q2.put(e)
 
@@ -552,8 +687,20 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 break
             if isinstance(item, BaseException):
                 raise item
-            bd, n = item
-            params = process(params, bd, n, placed=True)
+            if item[0] == "p":
+                _, buf, lay, gn = item
+                step_fn = packed_mod.make_packed_train_step(model, lay, K)
+                first_num = example_num + 1
+                example_num += gn
+                params, preds = step_fn(params, buf)  # preds [K, B]
+                if hasattr(preds, "copy_to_host_async"):
+                    preds.copy_to_host_async()
+                _wq.put((preds, first_num, gn))
+                if _werr:
+                    raise _werr[0]
+            else:
+                _, bd, n = item
+                params = process(params, bd, n, placed=True)
     else:
         pending: list = []
 
@@ -702,6 +849,25 @@ def main(argv=None) -> int:
             quantize_weights=args.weight_quantization,
         )
         return 0
+
+    # -- predict mode on the embedded C++ engine -----------------------------
+    if native_predict_eligible(args):
+        from .. import native as fw_native
+
+        if fw_native.load() is not None:
+            try:
+                pred = fw_native.EmbeddedPredictor(
+                    f"-i {args.initial_regressor}")
+            except RuntimeError as e:
+                log.warning("native predict engine unavailable (%s); "
+                            "using the device path", e)
+            else:
+                try:
+                    run_native_predict(args, pred)
+                    return 0
+                except (FlushCommand, HogwildLoadCommand) as e:
+                    log.error("Global error: %s", e)
+                    return 1
 
     # -- vwmap + model config -------------------------------------------------
     if args.initial_regressor:

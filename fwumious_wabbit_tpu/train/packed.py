@@ -1,0 +1,138 @@
+"""Superbatch packing: K train batches → ONE contiguous u32 buffer → ONE
+host→device transfer → ONE jitted lax.scan dispatch → ONE prediction fetch.
+
+Why. The training loop's throughput ceiling on a high-latency device link is
+set by per-RPC latency, not bandwidth: measured here (scripts/tunnel_probe.py
+on the axon v5e tunnel), every ``device_put`` pays ~35 ms regardless of size
+and every distinct array is its own RPC — a 2.3 MB batch dict of 3 leaves
+costs ~157 ms while the same bytes as ONE array cost ~90 ms, and the
+prediction fetch pays another ~30 ms per call. Packing K batches into a
+single ``[K, words]`` u32 buffer amortizes the transfer latency K·leaves
+times, the scan collapses K dispatches into one, and predictions come back
+``[K, B]`` in one fetch. Training semantics are UNCHANGED: the scan runs the
+same per-batch steps sequentially with the same batch size — the trajectory
+is bit-identical to the unpacked loop (asserted in tests/test_packed.py).
+
+The reference has no analogue (its device is the CPU it runs on); this is
+TPU-first plumbing for the reference's single-stream train loop
+(reference: src/main.rs:213-270).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# dtype → words-per-element numerator/denominator (all sizes divide 4)
+_DTYPES = {
+    np.dtype(np.int32): jnp.int32,
+    np.dtype(np.float32): jnp.float32,
+    np.dtype(np.uint8): jnp.uint8,
+    np.dtype(np.int8): jnp.int8,
+    np.dtype(np.uint16): jnp.uint16,
+    np.dtype(np.int16): jnp.int16,
+}
+
+
+@dataclass(frozen=True)
+class _Field:
+    key: str
+    dtype: str  # numpy dtype str
+    shape: tuple
+    word_off: int
+    word_len: int
+
+
+@dataclass(frozen=True)
+class PackedLayout:
+    """Static byte layout of one packed batch (a row of the superbatch)."""
+
+    fields: tuple  # tuple[_Field]
+    words: int
+
+    @property
+    def signature(self):
+        return tuple((f.key, f.dtype, f.shape) for f in self.fields)
+
+
+def layout_of(bd: dict) -> PackedLayout | None:
+    """Build the layout for a batch dict, or None if it cannot pack
+    (unknown dtype or a byte count not divisible by 4)."""
+    fields = []
+    off = 0
+    for key in sorted(bd):
+        a = bd[key]
+        if not isinstance(a, np.ndarray) or a.dtype not in _DTYPES:
+            return None
+        nbytes = int(a.nbytes)
+        if nbytes % 4:
+            return None
+        wl = nbytes // 4
+        fields.append(_Field(key, a.dtype.str, tuple(a.shape), off, wl))
+        off += wl
+    return PackedLayout(tuple(fields), off)
+
+
+def pack(layout: PackedLayout, bds: list) -> np.ndarray:
+    """K batch dicts → [K, words] u32 (one flat memcpy per array)."""
+    buf = np.empty((len(bds), layout.words), np.uint32)
+    for k, bd in enumerate(bds):
+        row = buf[k]
+        for f in layout.fields:
+            row[f.word_off : f.word_off + f.word_len] = (
+                bd[f.key].reshape(-1).view(np.uint32)
+            )
+    return buf
+
+
+def unpack_row(row: jnp.ndarray, layout: PackedLayout) -> dict:
+    """Device-side inverse of :func:`pack` for one row — static slices +
+    bitcasts, fused into the consuming step by XLA (no extra HBM passes)."""
+    bd = {}
+    for f in layout.fields:
+        seg = jax.lax.slice(row, (f.word_off,), (f.word_off + f.word_len,))
+        dt = np.dtype(f.dtype)
+        jdt = _DTYPES[dt]
+        if dt.itemsize == 4:
+            arr = jax.lax.bitcast_convert_type(seg, jdt)
+        else:
+            # u32 [n] → [n, 4/itemsize] of the narrow type → flat
+            arr = jax.lax.bitcast_convert_type(seg, jdt).reshape(-1)
+        bd[f.key] = arr.reshape(f.shape)
+    return bd
+
+
+def make_packed_train_step(model, layout: PackedLayout, K: int):
+    """(params, buf [K, words] u32) → (params, preds [K, B]).
+
+    Runs K sequential train steps (identical math to the per-batch step —
+    the raw step body is shared) inside one jit; params are donated so the
+    tables update in place.
+    """
+    key = ("packed", layout.signature, K)
+    cache = getattr(model, "_packed_steps", None)
+    if cache is None:
+        cache = model._packed_steps = {}
+    if key in cache:
+        return cache[key]
+
+    from .step import make_train_step
+
+    make_train_step(model)  # ensure the raw body exists
+    inner = model._train_step_raw
+
+    def body(params, row):
+        bd = unpack_row(row, layout)
+        params, p = inner(params, bd)
+        return params, p
+
+    def packed_steps(params, buf):
+        return jax.lax.scan(body, params, buf)
+
+    jitted = jax.jit(packed_steps, donate_argnums=(0,))
+    cache[key] = jitted
+    return jitted

@@ -326,6 +326,8 @@ def make_train_step(model: FwModel):
 
         return new_params, p
 
+    model._train_step_raw = train_step  # unjitted body (train/packed.py
+    # scans it over a superbatch inside one jit)
     jitted = jax.jit(train_step, donate_argnums=(0,))
     model._cached_train_step = jitted
     return jitted
