@@ -345,24 +345,25 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         # model file and forward every example (-t -i model). Eligible runs
         # route through the embedded C++ engine (train/loop.py
         # run_native_predict) — entirely host-side, no device link.
-        from fwumious_wabbit_tpu.train.loop import main as cli_main
+        try:
+            from fwumious_wabbit_tpu.persistence import model_file
+            from fwumious_wabbit_tpu.train.loop import main as cli_main
 
-        mpath = CACHE_DIR / "bench_model.fw"
-        run_train_loop(
-            build_parser().parse_args(
-                argv + ["-f", str(mpath), "--save_resume"]),
-            mi, vw, model)
-        pruns = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            rc = cli_main(argv + ["-t", "-i", str(mpath)])
-            assert rc == 0
-            pruns.append(rows / (time.perf_counter() - t0))
-        extras["predict_ex_s"] = round(float(np.mean(pruns)))
-        extras["predict_runs"] = [round(r) for r in pruns]
-        checkpoint()
-        print(f"# predict (-t -i, 3-run mean): {np.mean(pruns):,.0f} ex/s "
-              f"(ref 592k)", file=sys.stderr)
+            mpath = CACHE_DIR / "bench_model.fw"
+            model_file.save_model(str(mpath), mi, vw, model, result["params"])
+            pruns = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rc = cli_main(argv + ["-t", "-i", str(mpath)])
+                assert rc == 0
+                pruns.append(rows / (time.perf_counter() - t0))
+            extras["predict_ex_s"] = round(float(np.mean(pruns)))
+            extras["predict_runs"] = [round(r) for r in pruns]
+            checkpoint()
+            print(f"# predict (-t -i, 3-run mean): {np.mean(pruns):,.0f} "
+                  f"ex/s (ref 592k)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — predict row is optional
+            print(f"# predict probe failed: {e}", file=sys.stderr)
 
         # FFM-mode end-to-end (the reference's FFM benchmark block is
         # DISABLED — benchmark.py `and False`; this row is net-new evidence)

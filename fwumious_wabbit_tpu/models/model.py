@@ -312,25 +312,55 @@ class FwModel:
                 )
 
         if self.has_nn:
-            rng = np.random.default_rng(seed + 12345)
+            # reference-exact init: each layer seeds a Xoshiro256++ from its
+            # (emulated) tape offsets and draws Xavier-uniform / Hu-normal
+            # weights through rand's exact float pipeline — bit-compatible
+            # with the reference (reference: src/block_neural.rs:382-418;
+            # offsets via models/ref_offsets.py)
+            from . import ref_offsets
+
+            offs = ref_offsets.reference_nn_offsets(
+                self.num_combos,
+                self.num_fields if self.has_ffm else 0,
+                self.topology,
+                [(s.width, s.layernorm, s.activation) for s in self.nn_layers],
+            )
             layers = []
-            in_width = self.joined_width if self.topology != "two" else self.joined_width
-            d = in_width
-            for spec in self.nn_layers:
-                layers.append(self._init_layer(rng, d, spec.width, spec.init))
+            d = self.joined_width
+            for spec, off in zip(self.nn_layers, offs[:-1]):
+                layers.append(self._init_layer(off, d, spec.width, spec.init))
                 d = spec.width
             params["nn"] = layers
             final_in = d + (self.joined_width if self.topology != "two" else 0)
-            params["final"] = self._init_layer(rng, final_in, 1, "one")
+            params["final"] = self._init_layer(offs[-1], final_in, 1, "one")
         return params
 
-    def _init_layer(self, rng, fan_in: int, fan_out: int, init: str) -> dict:
-        if init == "xavier":
-            # uniform ±√6/√(fan_in·fan_out) (reference: src/block_neural.rs:392-400)
-            bound = np.sqrt(6.0) / np.sqrt(fan_in * fan_out)
-            w = rng.uniform(-bound, bound, size=(fan_in, fan_out))
-        elif init == "hu":
-            w = rng.normal(0.0, np.sqrt(2.0 / fan_in), size=(fan_in, fan_out))
+    def _init_layer(self, off, fan_in: int, fan_out: int, init: str) -> dict:
+        from ..ops import xoshiro
+        from . import ref_offsets
+
+        in_off, out_off, num_inputs, num_neurons = off
+        assert num_inputs == fan_in and num_neurons == fan_out, (
+            "ref_offsets layer shape drifted from the model builder",
+            off, fan_in, fan_out,
+        )
+        if init in ("xavier", "hu"):
+            rng = xoshiro.Xoshiro256PlusPlus(
+                ref_offsets.layer_seed(in_off, out_off, fan_in, fan_out))
+            n = fan_in * fan_out
+            if init == "xavier":
+                # uniform ±√6/√(num_inputs·num_neurons)
+                # (reference: src/block_neural.rs:392-400)
+                bound = float(np.sqrt(6.0)) / float(np.sqrt(n))
+                seq = [rng.uniform(-bound, bound) for _ in range(n)]
+            else:
+                # Hu (He): Normal(0, √(2/num_inputs)) via rand_distr's
+                # ziggurat (reference: src/block_neural.rs:401-407)
+                std = float(np.sqrt(2.0 / fan_in))
+                seq = [xoshiro.normal(rng, 0.0, std) for _ in range(n)]
+            # the reference stores weights[neuron j][input i] contiguously
+            # (sgemv col-major, lda=num_inputs): sequence is neuron-major
+            w = np.array(seq, np.float32).reshape(fan_out, fan_in).T
         elif init == "one":
             w = np.ones((fan_in, fan_out))
         else:  # zero
