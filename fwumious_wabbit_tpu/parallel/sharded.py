@@ -166,7 +166,7 @@ def _a2a_take(local: jnp.ndarray, rid: jnp.ndarray, n_t: int, capacity: int):
     flat = recv_rows.reshape(n_t * capacity, lane)
     rows = jnp.take(flat, jnp.where(valid, owner * capacity + slot, 0), axis=0)
     rows = jnp.where(valid[:, None], rows, 0.0)
-    return rows.reshape(*shape, lane)
+    return rows.reshape(*shape, lane), jnp.sum(~valid).astype(jnp.int32)
 
 
 def _a2a_row_update(opt, w_local, acc_local, rid, grows, n_t: int, capacity: int):
@@ -197,7 +197,8 @@ def _a2a_row_update(opt, w_local, acc_local, rid, grows, n_t: int, capacity: int
     ok = (lrid >= 0) & (lrid < rl)
     g = jnp.where(ok[:, None], all_g, 0.0)
     lrid_safe = jnp.clip(lrid, 0, rl - 1)
-    return _apply_local_rows(opt, w_local, acc_local, lrid_safe, g)
+    w, acc = _apply_local_rows(opt, w_local, acc_local, lrid_safe, g)
+    return w, acc, jnp.sum(~valid).astype(jnp.int32)
 
 
 def a2a_capacity(n_occurrences: int, n_t: int, capacity_factor: float) -> int:
@@ -233,7 +234,8 @@ def estimate_comm_bytes(batch_global: int, width: int, mesh_shape: tuple[int, in
 
 
 def make_sharded_train_step(model: FwModel, mesh, exchange: str = "auto",
-                            capacity_factor: float = 2.0):
+                            capacity_factor: float = 2.0,
+                            with_stats: bool = False):
     """(params, batch) → (params, preds) with explicit collectives.
 
     ``params`` tables must be sharded P(table, None) and padded to the mesh
@@ -259,19 +261,33 @@ def make_sharded_train_step(model: FwModel, mesh, exchange: str = "auto",
     # dense grads: in a2a mode the batch is split along BOTH axes
     dense_axes = (DATA_AXIS, TABLE_AXIS) if a2a else DATA_AXIS
 
+    # a2a overflow observability: occurrences beyond a destination's static
+    # capacity contribute zero on lookup and drop their update — silently
+    # degrading learning if --fwt_a2a_capacity is mis-sized for a skewed id
+    # distribution. Each step counts them (psum'd over the whole mesh) and
+    # the loop surfaces the total (train/loop.py logs it; tests assert the
+    # counter fires on a deliberately undersized capacity).
+    drops: list = []
+
     def take(local, rid):
         if a2a:
             cap = a2a_capacity(rid.size, n_t, capacity_factor)
-            return _a2a_take(local, rid, n_t, cap)
+            rows, d = _a2a_take(local, rid, n_t, cap)
+            drops.append(d)
+            return rows
         return _sharded_take(local, rid)
 
     def row_update(opt, w_local, acc_local, rid, grows):
         if a2a:
             cap = a2a_capacity(rid.size, n_t, capacity_factor)
-            return _a2a_row_update(opt, w_local, acc_local, rid, grows, n_t, cap)
+            w, acc, d = _a2a_row_update(opt, w_local, acc_local, rid, grows,
+                                        n_t, cap)
+            drops.append(d)
+            return w, acc
         return _sharded_row_update(opt, w_local, acc_local, rid, grows)
 
     def local_step(params, batch):
+        drops.clear()
         # -- sharded gathers ------------------------------------------------
         lr_ids, _ = model.lr_ids_combos(batch)
         rid_lr = jax.lax.shift_right_logical(lr_ids, tables.LANE_BITS)
@@ -411,7 +427,12 @@ def make_sharded_train_step(model: FwModel, mesh, exchange: str = "auto",
             if ffm_acc is not None:
                 new_params["ffm_acc"] = ffm_acc
 
-        return new_params, p
+        if a2a:
+            total = sum(drops, jnp.int32(0))
+            dropped = jax.lax.psum(total, (DATA_AXIS, TABLE_AXIS))
+        else:
+            dropped = jnp.int32(0)
+        return new_params, p, dropped
 
     batch_axes = (DATA_AXIS, TABLE_AXIS) if a2a else DATA_AXIS
 
@@ -436,7 +457,7 @@ def make_sharded_train_step(model: FwModel, mesh, exchange: str = "auto",
         mapped = shard_map(
             local_step, mesh=mesh,
             in_specs=(params_specs(params), batch_specs(batch)),
-            out_specs=(params_specs(params), P(batch_axes)),
+            out_specs=(params_specs(params), P(batch_axes), P()),
             # Table updates are replicated across 'data' by construction
             # (update inputs are all_gather'd / a2a'd over 'data' first), but
             # jax 0.9's static vma checker has no invariance-assertion
@@ -446,6 +467,9 @@ def make_sharded_train_step(model: FwModel, mesh, exchange: str = "auto",
             # compares per-device shard bytes across the data axis.
             check_vma=False,
         )
-        return mapped(params, batch)
+        new_params, p, dropped = mapped(params, batch)
+        if with_stats:
+            return new_params, p, {"a2a_dropped": dropped}
+        return new_params, p
 
     return jax.jit(step, donate_argnums=(0,))

@@ -479,10 +479,12 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
 
         params = pmesh.pad_params_for_mesh(model, params, mesh)
         params = pmesh.shard_params(params, pmesh.param_sharding(mesh, params))
+        a2a_stats = exchange == "a2a"
         train_step = (
             make_sharded_train_step(
                 model, mesh, exchange=exchange,
                 capacity_factor=float(getattr(args, "fwt_a2a_capacity", 2.0) or 2.0),
+                with_stats=a2a_stats,
             )
             if not testonly else None
         )
@@ -492,6 +494,22 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     else:
         train_step = make_train_step(model) if not testonly else None
         predict_step = make_predict_step(model)
+
+    if mesh is None:
+        a2a_stats = False
+
+    # a2a overflow accumulator: a device scalar summed lazily per step (no
+    # per-step host sync); fetched once at the end of the run
+    a2a_dropped = None
+
+    def call_train(params, bd):
+        nonlocal a2a_dropped
+        if a2a_stats:
+            params, preds, stats = train_step(params, bd)
+            d = stats["a2a_dropped"]
+            a2a_dropped = d if a2a_dropped is None else a2a_dropped + d
+            return params, preds
+        return train_step(params, bd)
 
     example_num = 0
     t0 = time.time()
@@ -549,7 +567,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
 
         if delay == 0:
             if update and train_step is not None:
-                params, preds = train_step(params, bd)
+                params, preds = call_train(params, bd)
             else:
                 preds = predict_step(params, bd)
         else:
@@ -564,7 +582,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 old_bd, old_n = delayed.pop(0)
                 delayed_examples -= old_n
                 if train_step is not None:
-                    params, _ = train_step(params, old_bd)
+                    params, _ = call_train(params, old_bd)
 
         if hasattr(preds, "copy_to_host_async"):
             preds.copy_to_host_async()  # overlap D2H with further host work
@@ -748,14 +766,22 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     # drain the delay queue and the prediction pipeline
     if delay > 0 and not testonly and train_step is not None:
         for bd, _n in delayed:
-            params, _ = train_step(params, bd)
+            params, _ = call_train(params, bd)
     _finish_writes()
 
     writer.close()
+    dropped = int(a2a_dropped) if a2a_dropped is not None else 0
+    if dropped > 0:
+        log.warning(
+            "a2a exchange dropped %d occurrence(s) past the static "
+            "per-destination capacity this run (their lookups read zero "
+            "and their updates were skipped) — raise --fwt_a2a_capacity "
+            "if the id distribution is skewed", dropped)
     elapsed = time.time() - t0
     log.info("Elapsed: %.2fs rows: %d (%.0f ex/s)", elapsed, example_num,
              example_num / max(elapsed, 1e-9))
-    return {"params": params, "examples": example_num, "elapsed": elapsed}
+    return {"params": params, "examples": example_num, "elapsed": elapsed,
+            "a2a_dropped": dropped}
 
 
 def _daemonize() -> None:

@@ -279,3 +279,55 @@ def test_multi_row_slabs_sharded(exchange):
         got, want = np.asarray(new_params[key]), np.asarray(ref1[key])
         np.testing.assert_allclose(got[: want.shape[0]], want,
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_a2a_overflow_counter_fires_and_is_zero_at_slack():
+    """with_stats=True surfaces the per-step dropped-occurrence count:
+    a deliberately undersized --fwt_a2a_capacity must report drops > 0,
+    and a healthy 8x slack must report exactly zero (the observability
+    demanded for the silent a2a overflow)."""
+    model = build_model(Optimizer.ADAGRAD_LUT)
+    batch = make_batch(model, B=16)
+    mesh = pmesh.make_mesh(n_data=4, n_table=2, devices=jax.devices()[:8])
+
+    def run(capacity_factor):
+        params = pmesh.pad_params_for_mesh(model, model.init_params(), mesh)
+        params = pmesh.shard_params(params, pmesh.param_sharding(mesh, params))
+        sbatch = pmesh.shard_batch(batch, mesh, both_axes=True)
+        step = make_sharded_train_step(model, mesh, exchange="a2a",
+                                       capacity_factor=capacity_factor,
+                                       with_stats=True)
+        _params, preds, stats = step(params, sbatch)
+        assert np.isfinite(np.asarray(preds)).all()
+        return int(stats["a2a_dropped"])
+
+    assert run(0.02) > 0      # capacity 1 slot/destination: heavy overflow
+    assert run(8.0) == 0      # comfortable slack: nothing dropped
+
+
+def test_a2a_overflow_counter_via_cli_loop(tmp_path):
+    """End-to-end: run_train_loop reports a2a_dropped == 0 on a healthy
+    capacity (and the result dict carries the counter)."""
+    from fwumious_wabbit_tpu.config.cmdline import build_parser
+    from fwumious_wabbit_tpu.config.model_instance import ModelInstance
+    from fwumious_wabbit_tpu.config.vwmap import VwNamespaceMap
+    from fwumious_wabbit_tpu.models.model import FwModel
+    from fwumious_wabbit_tpu.train.loop import run_train_loop
+
+    (tmp_path / "vw_namespace_map.csv").write_text("A,a\nB,b\n")
+    data = tmp_path / "d.vw"
+    data.write_text("".join(
+        f"{1 if i % 2 else -1} |A a{i % 7} |B b{i % 5}\n" for i in range(64)
+    ))
+    argv = ["--data", str(data), "--keep", "A", "--keep", "B",
+            "-b", "18", "--adaptive", "-l", "0.1", "--fwt_platform", "cpu",
+            "--fwt_batch_size", "16", "--fwt_data_axis", "4",
+            "--fwt_table_axis", "2", "--fwt_exchange", "a2a",
+            "--fwt_a2a_capacity", "8.0"]
+    args = build_parser().parse_args(argv)
+    vw = VwNamespaceMap.from_dataset_dir(args.data)
+    mi = ModelInstance.from_cmdline(args, vw)
+    model = FwModel(mi)
+    result = run_train_loop(args, mi, vw, model)
+    assert result["examples"] == 64
+    assert result["a2a_dropped"] == 0
