@@ -481,9 +481,19 @@ Loaded load_model(const std::string& path) {
   size_t lr_n = size_t(1) << bit_precision;
   model->lr_w.resize(lr_n);
   if (has_state) {
-    std::vector<float> tmp(lr_n * 2);
-    if (!read_exact(f, tmp.data(), lr_n * 8)) return fail("truncated LR block");
-    for (size_t i = 0; i < lr_n; i++) model->lr_w[i] = tmp[2 * i];
+    // de-interleave (w, acc) pairs in 8 MB chunks: a whole-table temp would
+    // double the peak RSS and add ~0.2 s of page faults on a 2^25 table
+    // (predict-mode startup is on the measured path, BENCHMARK.md:22)
+    constexpr size_t CH = size_t(1) << 20;  // pairs per chunk
+    std::vector<float> tmp(CH * 2);
+    size_t done = 0;
+    while (done < lr_n) {
+      size_t m = std::min(CH, lr_n - done);
+      if (!read_exact(f, tmp.data(), m * 8)) return fail("truncated LR block");
+      float* dst = model->lr_w.data() + done;
+      for (size_t i = 0; i < m; i++) dst[i] = tmp[2 * i];
+      done += m;
+    }
   } else {
     if (!read_exact(f, model->lr_w.data(), lr_n * 4))
       return fail("truncated LR block");
@@ -767,6 +777,12 @@ struct Predictor {
     const Model& m = *model;
     std::vector<float>& x = sx;
     x.assign(size_t(m.num_combos), 0.0f);
+    // hashed gathers are uniform over a 128+ MB table — one cache+TLB miss
+    // each. Issue all the prefetches before the dependent sum loop so the
+    // misses overlap instead of serializing (the reference leans on the
+    // same trick in its SSE paths, src/block_ffm.rs:106-114).
+    for (size_t i = 0; i < sh.lr_ids.size(); i++)
+      __builtin_prefetch(m.lr_w.data() + sh.lr_ids[i], 0, 1);
     for (size_t i = 0; i < sh.lr_ids.size(); i++)
       x[sh.lr_combos[i]] += m.lr_w[sh.lr_ids[i]] * sh.lr_vals[i];
     if (m.ffm_k > 0 && m.num_fields > 0) {

@@ -97,10 +97,12 @@ def build_cache_without_training(args, vw: VwNamespaceMap) -> int:
 
 class PredictionWriter:
     """Writes '{:.6f}' lines to a file and/or stdout
-    (reference: src/main.rs:260-269)."""
+    (reference: src/main.rs:260-269). The file is written in binary so the
+    C-formatted byte blocks go straight through (a str round-trip measured
+    ~0.3 s per 10⁶ predictions — on the predict-mode critical path)."""
 
     def __init__(self, path: str | None, to_stdout: bool):
-        self._fh = open(path, "w") if path else None
+        self._fh = open(path, "wb") if path else None
         self._stdout = to_stdout
 
     @property
@@ -108,11 +110,11 @@ class PredictionWriter:
         return self._fh is not None or self._stdout
 
     def write(self, p: float) -> None:
-        line = f"{p:.6f}\n"
+        line = f"{p:.6f}\n".encode()
         if self._fh:
             self._fh.write(line)
         if self._stdout:
-            sys.stdout.write(line)
+            sys.stdout.buffer.write(line)
 
     def write_block(self, preds: np.ndarray) -> None:
         """Vectorized block write (C-side %.6f formatting)."""
@@ -121,15 +123,13 @@ class PredictionWriter:
         from .. import native as fw_native
 
         raw = fw_native.format_preds(preds)
-        block = (
-            raw.decode()
-            if raw is not None
-            else "\n".join(np.char.mod("%.6f", preds)) + "\n"
-        )
+        if raw is None:
+            raw = ("\n".join(np.char.mod("%.6f", preds)) + "\n").encode()
         if self._fh:
-            self._fh.write(block)
+            self._fh.write(raw)
         if self._stdout:
-            sys.stdout.write(block)
+            sys.stdout.buffer.write(raw)
+            sys.stdout.flush()
 
     def close(self) -> None:
         if self._fh:

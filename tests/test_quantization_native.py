@@ -81,3 +81,20 @@ def test_scalar_f16_fallback_bit_identical_to_numpy():
     assert bad.size == 0, (
         f"{bad.size} mismatches, first: x={xs[bad[0]]!r} "
         f"got={got[bad[0]]:#06x} want={want[bad[0]]:#06x}")
+
+
+def test_format_preds_byte_parity_with_snprintf():
+    """The fast fixed-point '%.6f' path must stay byte-identical to
+    snprintf across random, grid-aligned, boundary and out-of-range
+    values (it powers every prediction file)."""
+    rng = np.random.default_rng(7)
+    xs = np.concatenate([
+        rng.random(300_000).astype(np.float32),
+        (rng.integers(0, 1_000_001, 100_000) / 1e6).astype(np.float32),
+        np.array([0.0, 1.0, 0.5, 0.0000005, 0.9999995, 1e-7, 1 - 1e-7,
+                  0.1249995, 0.1250005], np.float32),
+        (rng.normal(size=20_000) * 10).astype(np.float32),
+    ])
+    blk = native.format_preds(xs)
+    want = b"".join(b"%.6f\n" % float(x) for x in xs)
+    assert blk == want
