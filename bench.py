@@ -208,15 +208,21 @@ def bench_decomposition(rows: int) -> dict:
     model = FwModel(mi, precision="default")
     step_fn = packed_mod.make_packed_train_step(model, lay, K)
     params = model.init_params()
-    params, preds = step_fn(params, warm)
+    # warm thoroughly: the first couple of invocations carry compile +
+    # donation-aliasing warm-up (measured 530k on call 2 vs the 1.13M
+    # steady state); best-of-3 timed windows reports the real rate
+    for _ in range(3):
+        params, preds = step_fn(params, warm)
     _ = float(preds[0, 0])
     reps_s = 4
-    t0 = time.perf_counter()
-    for _ in range(reps_s):
-        params, preds = step_fn(params, warm)
-    _ = float(preds[-1, -1])
-    step_s = time.perf_counter() - t0
-    step_ex_s = reps_s * K * 32768 / step_s
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps_s):
+            params, preds = step_fn(params, warm)
+        _ = float(preds[-1, -1])
+        best = min(best, time.perf_counter() - t0)
+    step_ex_s = reps_s * K * 32768 / best
 
     # -- prediction fetch: one [K, B] D2H per superbatch
     t0 = time.perf_counter()

@@ -87,6 +87,27 @@ def _nn_layer_from_bytes(fh, fan_in: int, fan_out: int, with_state: bool,
     return layer
 
 
+def _fetch_global(params):
+    """Make every param leaf host-fetchable. In a multi-host run
+    (parallel/distributed.py) table shards live on other processes'
+    devices; process_allgather assembles the global arrays on every host so
+    checkpointing works from any process (the reference is single-machine —
+    net-new, SURVEY §2.4)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return params
+    from jax.experimental import multihost_utils
+
+    def fetch(x):
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            return multihost_utils.process_allgather(x, tiled=True)
+        return x
+
+    return jax.tree.map(fetch, params,
+                        is_leaf=lambda x: not isinstance(x, (dict, list)))
+
+
 def save_model(
     path: str | Path,
     mi: ModelInstance,
@@ -95,6 +116,7 @@ def save_model(
     params,
     quantize_weights: bool = False,
 ) -> None:
+    params = _fetch_global(params)
     with open(path, "wb") as fh:
         fh.write(MAGIC)
         fh.write(struct.pack("<I", VERSION))

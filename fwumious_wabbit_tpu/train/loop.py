@@ -584,9 +584,18 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 if train_step is not None:
                     params, _ = call_train(params, old_bd)
 
-        if hasattr(preds, "copy_to_host_async"):
-            preds.copy_to_host_async()  # overlap D2H with further host work
-        _wq.put((preds, first_num, n))  # blocks when the pipeline is full
+        if writer.active:
+            if not getattr(preds, "is_fully_addressable", True):
+                # multi-host: shards live on other processes' devices.
+                # Gather ON THIS (main) thread — collectives must be issued
+                # in one global order, so the writer thread cannot do it —
+                # then every process writes the full prediction stream.
+                from jax.experimental import multihost_utils
+
+                preds = multihost_utils.process_allgather(preds, tiled=True)
+            elif hasattr(preds, "copy_to_host_async"):
+                preds.copy_to_host_async()  # overlap D2H with host work
+            _wq.put((preds, first_num, n))  # blocks when the pipeline is full
         if _werr:
             raise _werr[0]
         return params
@@ -612,6 +621,29 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         import jax
 
         from . import packed as packed_mod
+
+        if jax.process_count() > 1:
+            # multi-host: feed the stream synchronously on the main thread.
+            # Every process must enqueue the same cross-process executions
+            # in the same order; the run-ahead transfer thread interleaves
+            # device_put/execute differently per process and wedges the
+            # CPU collective client (measured: 8 steps never complete,
+            # while this path finishes in seconds). Multi-host throughput
+            # comes from scale-out, not single-host pipelining.
+            for bd, n in native_batch_stream(args, mi, vw, batch_size,
+                                             cut_at, count_keys):
+                params = process(params, bd, n)
+            if delay > 0 and not testonly and train_step is not None:
+                for bd, _n in delayed:
+                    params, _ = call_train(params, bd)
+            _finish_writes()
+            writer.close()
+            elapsed = time.time() - t0
+            log.info("Elapsed: %.2fs rows: %d (%.0f ex/s)", elapsed,
+                     example_num, example_num / max(elapsed, 1e-9))
+            dropped = int(a2a_dropped) if a2a_dropped is not None else 0
+            return {"params": params, "examples": example_num,
+                    "elapsed": elapsed, "a2a_dropped": dropped}
 
         # three-stage pipeline: C++ ingest, host→device transfer, and step
         # dispatch each on their own thread. Both ingest and device_put
@@ -711,9 +743,10 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 first_num = example_num + 1
                 example_num += gn
                 params, preds = step_fn(params, buf)  # preds [K, B]
-                if hasattr(preds, "copy_to_host_async"):
-                    preds.copy_to_host_async()
-                _wq.put((preds, first_num, gn))
+                if writer.active:
+                    if hasattr(preds, "copy_to_host_async"):
+                        preds.copy_to_host_async()
+                    _wq.put((preds, first_num, gn))
                 if _werr:
                     raise _werr[0]
             else:
