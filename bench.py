@@ -421,6 +421,15 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     except Exception as e:  # noqa: BLE001
         print(f"# quantize probe failed: {e}", file=sys.stderr)
 
+    # learning-parity evidence from the 10M-row gate (scripts/basic_gate.sh
+    # gate 4), folded in when present: the reference's one published
+    # model-quality number is 0.6370 test logloss at 10M rows
+    try:
+        with open(CACHE_DIR / "eat_rate_10m.json") as f:
+            extras["eat_rate_10m"] = json.load(f)
+    except (OSError, ValueError):
+        pass
+
     extras["peak_rss_mb"] = peak_rss_mb()
     dec = extras.get("decomposition")
     if dec and dec.get("min_stage_ex_s"):
