@@ -15,19 +15,32 @@ here both intermediates live in VMEM per batch tile, so HBM traffic is just
 emb in / triangle out. The contra accumulation and the pair dots are MXU
 contractions via one-hot matrices.
 
-**Status / why the XLA path is the production default.** The pair-dot step
-needs the 128-lane dim regrouped as (F, k) registers; with FFM's small k
-(typically 4–16) every formulation we tried hits a current Mosaic
-limitation: in-kernel reshape of the lane dim ("tpu.reshape" on
-vector<…x128xf32> → …x16x8xf32 is rejected), and the static-slice rewrite
-trips "result/input offset mismatch on non-concat dimension" for 8-lane
-unaligned slices. The kernel is therefore verified in interpreter mode
-(bit-equal to the XLA path, see tests/test_pallas_ffm.py) and kept as the
-fusion blueprint; XLA's own fusion of the einsum chain measures ~4 ms for
-the full FFM forward+backward at B=32k on one v5e — not the step bottleneck
-(the sparse gather/scatter and host pipeline are). Revisit when Mosaic
-supports lane-dim regrouping, or for k=128-multiple configs where slabs are
-whole rows.
+**Status: RETIRED as a production path (round 3), with the measurement
+that justifies it.** The pair-dot step needs the 128-lane dim regrouped as
+(F, k) registers; with FFM's small k (typically 4–16) every formulation
+hits a Mosaic limitation — re-checked 2026-08-17 on the current toolchain:
+
+    Mosaic failed to compile TPU kernel: infer-vector-layout:
+    unsupported shape cast
+    %tpu.reshape : (vector<256x2x16xf32>) -> vector<256x2x2x8xf32>
+
+(the static-slice rewrite equally trips "result/input offset mismatch on
+non-concat dimension" for 8-lane unaligned slices). The kernel stays
+verified in interpreter mode (bit-equal to the XLA path,
+tests/test_pallas_ffm.py) as the fusion blueprint.
+
+**Roofline: why a working kernel would not move the needle.** Measured on
+one v5e, k=8, B=32768, best-of-3 after warm-up (scripts in the round-3
+log): the ENTIRE FFM forward — row gather + contra einsums + triangle —
+costs 3.50 ms against a 17.28 ms full train step at 2^25 (20.3%), and
+3.57 ms against 32.96 ms at 2^29 (10.8%); both forward numbers sit just
+above this environment's ~3 ms per-dispatch floor, so the pure compute
+share is smaller still. A perfect fusion could at best recover a~10-20%
+of device-step time on a stage that already runs ≥2× faster than the
+pipeline's other serial resources (host ingest, host↔device transfer —
+see bench.py's decomposition). Revisit only if Mosaic grows lane-dim
+regrouping AND the step becomes the measured bottleneck; k that is a
+multiple of 128 (whole-row slabs) would also sidestep the reshape.
 """
 
 from __future__ import annotations
