@@ -164,6 +164,8 @@ struct Config {
   bool build_records = true;  // false: skip accumulating packed records (no cache)
 };
 
+using Feats = std::vector<std::pair<uint32_t, float>>;
+
 // Per-example translated features, SoA within one shard.
 struct Shard {
   // parsed packed records, concatenated (for cache writing)
@@ -178,6 +180,10 @@ struct Shard {
   std::vector<float> ffm_vals;
   std::vector<int32_t> ffm_fields;
   std::string error;
+  // combo-chain scratch for translate_record: lives here (the Shard is
+  // already per-thread) instead of function-scope thread_local — dynamic
+  // TLS lookups (__tls_get_addr) measured ~7% of ingest CPU
+  Feats scr_cur, scr_feats, scr_nxt;
   void clear() {
     records.clear();
     label.clear();
@@ -373,8 +379,6 @@ inline LineKind parse_line(const Config& cfg, const uint8_t* line, size_t n,
 // translator: packed record → LR/FFM feature lists
 // (port of ingest/translator.py / reference src/feature_buffer.rs:137-338)
 // ---------------------------------------------------------------------------
-
-using Feats = std::vector<std::pair<uint32_t, float>>;
 
 // Two-record view for partial-evaluation serving (fw_ffi.cpp 3-call cache):
 // a namespace slot declared in the ``delta`` record REPLACES the primary
@@ -600,7 +604,9 @@ inline void translate_record(const Config& cfg, const uint32_t* rec,
   sh.lr_start.push_back(int32_t(sh.lr_ids.size()));
   sh.ffm_start.push_back(int32_t(sh.ffm_ids.size()));
 
-  thread_local Feats feats, cur, nxt;
+  Feats& feats = sh.scr_feats;
+  Feats& cur = sh.scr_cur;
+  Feats& nxt = sh.scr_nxt;
   const RecView view{rec, nullptr};
 
   int combo_index = 0;

@@ -820,9 +820,9 @@ struct Predictor {
     std::vector<uint32_t> rec;
     std::string err;
     while (i < len && n_out < cap) {
-      int64_t j = i;
-      while (j < len && buf[j] != '\n') j++;
-      if (j >= len) break;  // partial tail line: caller carries it over
+      const void* nl = std::memchr(buf + i, '\n', size_t(len - i));
+      if (!nl) break;  // partial tail line: caller carries it over
+      int64_t j = int64_t(static_cast<const char*>(nl) - buf);
       rec.clear();
       LineKind kind = parse_line(
           m.cfg, reinterpret_cast<const uint8_t*>(buf + i), size_t(j - i),
