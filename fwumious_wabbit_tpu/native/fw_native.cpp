@@ -410,13 +410,18 @@ void fwn_batch_counts(const int32_t* ids, const int8_t* mark,
   }
   size_t n = cur.size();
   std::vector<uint64_t> nxt(n);
-  for (int pass = 0; pass < 4; pass++) {
-    if (((seen >> (8 * pass)) & 0xFF) == 0) continue;
-    int bit = 24 + 8 * pass;
-    size_t hist[257] = {0};
-    for (size_t i = 0; i < n; i++) hist[((cur[i] >> bit) & 0xFF) + 1]++;
-    for (int b = 0; b < 256; b++) hist[b + 1] += hist[b];
-    for (size_t i = 0; i < n; i++) nxt[hist[(cur[i] >> bit) & 0xFF]++] = cur[i];
+  // radix-16: two passes instead of four (keys are hash ids ≤ 2^31; a
+  // 64Ki-bucket histogram is 512 KB — L2-resident). Constant high halves
+  // skip their pass via the seen mask.
+  static thread_local std::vector<size_t> hist;
+  for (int pass = 0; pass < 2; pass++) {
+    if (((seen >> (16 * pass)) & 0xFFFF) == 0) continue;
+    int bit = 24 + 16 * pass;
+    hist.assign(65537, 0);
+    for (size_t i = 0; i < n; i++) hist[((cur[i] >> bit) & 0xFFFF) + 1]++;
+    for (int b = 0; b < 65536; b++) hist[b + 1] += hist[b];
+    for (size_t i = 0; i < n; i++)
+      nxt[hist[(cur[i] >> bit) & 0xFFFF]++] = cur[i];
     cur.swap(nxt);
   }
   // run-length counts over the sorted keys, written back via the index

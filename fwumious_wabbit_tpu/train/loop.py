@@ -678,31 +678,39 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     if not group:
                         return
                     if len(group) == K:
-                        q.put(("p", packed_mod.pack(glay, group), glay,
-                               K * batch_size))
+                        q.put(("p",
+                               packed_mod.pack(glay, [g[1] for g in group]),
+                               glay, K * batch_size))
                     else:
                         # short tail: unpacked (a K'-sized packed step would
-                        # compile a whole new program for one group)
-                        for bd in group:
-                            q.put(("s", bd, batch_size))
+                        # compile a whole new program for one group) — use
+                        # the ORIGINAL dicts: the stripped form is only
+                        # meaningful through unpack_row's reconstruction
+                        for orig, _slim in group:
+                            q.put(("s", orig, batch_size))
                     group, glay = [], None
 
                 for bd, n in native_batch_stream(args, mi, vw, batch_size,
                                                  cut_at, count_keys):
                     lay = None
+                    slim = bd
                     if (can_pack and n == batch_size
                             and (holdout_after is None or seen < cut_at)):
-                        lay = packed_mod.layout_of(bd)
+                        # constant-feature column elision: pure transfer
+                        # savings, re-synthesized device-side (packed.py)
+                        slim, appends = packed_mod.strip_constant_columns(
+                            bd, mi.lr_hash_mask)
+                        lay = packed_mod.layout_of(slim, appends)
                     if lay is not None and (
                             glay is None or lay.signature == glay.signature):
-                        group.append(bd)
+                        group.append((bd, slim))
                         glay = lay
                         if len(group) == K:
                             flush_group()
                     else:
                         flush_group()
                         if lay is not None:
-                            group, glay = [bd], lay
+                            group, glay = [(bd, slim)], lay
                         else:
                             q.put(("s", bd, n))
                     seen += n

@@ -49,17 +49,26 @@ class _Field:
 
 @dataclass(frozen=True)
 class PackedLayout:
-    """Static byte layout of one packed batch (a row of the superbatch)."""
+    """Static byte layout of one packed batch (a row of the superbatch).
+
+    ``appends``: constant columns elided from the transfer, re-synthesized
+    on device by :func:`unpack_row` — tuple of (key, scalar). The constant
+    feature is the canonical case: on a fixed-width schema its id (and its
+    multiplicity code) are identical in every example of a full batch, so
+    shipping the column is 5 B/example of pure redundancy (~8% of the
+    Eat-Rate payload on a link that is the measured bottleneck)."""
 
     fields: tuple  # tuple[_Field]
     words: int
+    appends: tuple = ()
 
     @property
     def signature(self):
-        return tuple((f.key, f.dtype, f.shape) for f in self.fields)
+        return (tuple((f.key, f.dtype, f.shape) for f in self.fields),
+                self.appends)
 
 
-def layout_of(bd: dict) -> PackedLayout | None:
+def layout_of(bd: dict, appends: tuple = ()) -> PackedLayout | None:
     """Build the layout for a batch dict, or None if it cannot pack
     (unknown dtype or a byte count not divisible by 4)."""
     fields = []
@@ -74,7 +83,41 @@ def layout_of(bd: dict) -> PackedLayout | None:
         wl = nbytes // 4
         fields.append(_Field(key, a.dtype.str, tuple(a.shape), off, wl))
         off += wl
-    return PackedLayout(tuple(fields), off)
+    return PackedLayout(tuple(fields), off, tuple(appends))
+
+
+CONSTANT_HASH = 11650396  # the VW constant feature (ingest/translator.py)
+
+
+def strip_constant_columns(bd: dict, lr_hash_mask: int):
+    """If the LAST lr column is the constant feature with a uniform packed
+    id (and uniform count code), drop it from the transfer payload and
+    return the append spec for :func:`unpack_row` to re-synthesize it.
+
+    Fixed-width schemas (every example has the same feature count — e.g.
+    the whole Eat-Rate benchmark family) qualify on every full batch; a
+    variable-width schema fails the uniformity check and ships unchanged.
+    Returns (bd, appends) — bd unchanged when not strippable."""
+    ids = bd.get("lr_ids")
+    if ids is None or ids.ndim != 2 or ids.shape[1] < 2:
+        return bd, ()
+    last = ids[:, -1]
+    v = int(last[0])
+    if (v & lr_hash_mask) != (CONSTANT_HASH & lr_hash_mask):
+        return bd, ()
+    if not (last == v).all():
+        return bd, ()
+    appends = [("lr_ids", v)]
+    out = dict(bd)
+    out["lr_ids"] = ids[:, :-1]
+    counts = bd.get("lr_counts")
+    if counts is not None:
+        c = int(counts[0, -1])
+        if not (counts[:, -1] == c).all():
+            return bd, ()  # mixed multiplicities: ship unchanged
+        out["lr_counts"] = counts[:, :-1]
+        appends.append(("lr_counts", c))
+    return out, tuple(appends)
 
 
 def pack(layout: PackedLayout, bds: list) -> np.ndarray:
@@ -103,6 +146,10 @@ def unpack_row(row: jnp.ndarray, layout: PackedLayout) -> dict:
             # u32 [n] → [n, 4/itemsize] of the narrow type → flat
             arr = jax.lax.bitcast_convert_type(seg, jdt).reshape(-1)
         bd[f.key] = arr.reshape(f.shape)
+    for key, value in layout.appends:
+        a = bd[key]
+        col = jnp.full((a.shape[0], 1), value, a.dtype)
+        bd[key] = jnp.concatenate([a, col], axis=1)
     return bd
 
 

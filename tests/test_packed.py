@@ -66,3 +66,55 @@ def test_packed_equals_unpacked_end_to_end(tmp_path, extra):
     assert p1.read_text() == p3.read_text()
     assert p1.stat().st_size > 0
     assert m1.read_bytes() == m3.read_bytes()
+
+
+def test_strip_constant_columns_roundtrip():
+    """Elided constant columns must be re-synthesized exactly on unpack."""
+    from fwumious_wabbit_tpu.train import packed
+
+    B, L = 64, 5
+    rng = np.random.default_rng(0)
+    const_id = (packed.CONSTANT_HASH & ((1 << 18) - 1)) | (3 << 18)
+    bd = {
+        "label": rng.integers(0, 2, B).astype(np.uint8),
+        "lr_ids": np.concatenate(
+            [rng.integers(0, 1 << 18, (B, L - 1)).astype(np.int32),
+             np.full((B, 1), const_id, np.int32)], axis=1),
+        "lr_counts": np.concatenate(
+            [rng.integers(1, 5, (B, L - 1)).astype(np.uint8),
+             np.full((B, 1), 64, np.uint8)], axis=1),
+    }
+    slim, appends = packed.strip_constant_columns(bd, (1 << 18) - 1)
+    assert appends == (("lr_ids", const_id), ("lr_counts", 64))
+    assert slim["lr_ids"].shape == (B, L - 1)
+    lay = packed.layout_of(slim, appends)
+    buf = packed.pack(lay, [slim])
+    out = jax.jit(lambda r: packed.unpack_row(r, lay))(buf[0])
+    np.testing.assert_array_equal(np.asarray(out["lr_ids"]), bd["lr_ids"])
+    np.testing.assert_array_equal(np.asarray(out["lr_counts"]), bd["lr_counts"])
+
+    # non-uniform last column: must ship unchanged
+    bd2 = dict(bd)
+    bd2["lr_ids"] = bd["lr_ids"].copy()
+    bd2["lr_ids"][3, -1] ^= 1
+    same, ap2 = packed.strip_constant_columns(bd2, (1 << 18) - 1)
+    assert ap2 == () and same["lr_ids"].shape == (B, L)
+
+
+def test_packed_equals_unpacked_with_constant_feature(tmp_path):
+    """Same trajectory check but WITH the constant feature (the elision
+    path engages; --noconstant is absent)."""
+    from fwumious_wabbit_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+
+    gen_dataset(tmp_path, n_train=3000, n_eval=10)
+    flags = [f for f in FLAGS if f != "--noconstant"]
+    base = flags + ["--data", str(tmp_path / "train.vw"), "--save_resume"]
+    p1, m1 = tmp_path / "a.preds", tmp_path / "a.model"
+    p3, m3 = tmp_path / "b.preds", tmp_path / "b.model"
+    run_cli(base + ["-p", str(p1), "-f", str(m1), "--fwt_superbatch", "1"])
+    run_cli(base + ["-p", str(p3), "-f", str(m3), "--fwt_superbatch", "3"])
+    assert p1.read_text() == p3.read_text()
+    assert m1.read_bytes() == m3.read_bytes()
