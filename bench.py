@@ -115,6 +115,65 @@ def _base_argv(data: Path, batch_size: int = 32768):
     return argv
 
 
+def host_only_probes(rows: int, args, mi, vw) -> dict:
+    """Device-free measurements: native-engine predict (vs the 592k
+    baseline), text/cache ingest rates, and the quantizer. Run before any
+    device traffic so a wedged tunnel still yields a meaningful JSON."""
+    import time as _t
+
+    from fwumious_wabbit_tpu.train.loop import native_batch_stream
+    from fwumious_wabbit_tpu.train.loop import main as cli_main
+
+    out = {}
+    n = min(rows, 500_000)
+
+    count = 0
+    t0 = _t.perf_counter()
+    for _bd, k in native_batch_stream(args, mi, vw, 32768,
+                                      count_keys={"lr": 0}):
+        count += k
+        if count >= n:
+            break
+    out["host_ingest_ex_s"] = round(count / (_t.perf_counter() - t0))
+
+    mpath = CACHE_DIR / "bench_model.fw"
+    if mpath.exists():
+        pruns = []
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            rc = cli_main([*_base_argv(ensure_dataset(rows)), "-t",
+                           "-i", str(mpath)])
+            assert rc == 0
+            pruns.append(rows / (_t.perf_counter() - t0))
+        out["predict_ex_s"] = round(float(np.mean(pruns)))
+        out["predict_runs"] = [round(r) for r in pruns]
+        print(f"# predict (-t -i native, host-only, 3-run mean): "
+              f"{np.mean(pruns):,.0f} ex/s (ref 592k)", file=sys.stderr)
+
+    try:
+        from fwumious_wabbit_tpu.persistence import quantization as q
+
+        wq = np.random.default_rng(0).normal(size=10_000_000).astype(np.float32)
+        t0 = _t.perf_counter()
+        blob = q.quantize_ffm_weights(wq)
+        out["quantize_10m_ms"] = round((_t.perf_counter() - t0) * 1e3, 1)
+        t0 = _t.perf_counter()
+        _ = q.dequantize_ffm_weights(blob, wq.size)
+        out["dequantize_10m_ms"] = round((_t.perf_counter() - t0) * 1e3, 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"# quantize probe failed: {e}", file=sys.stderr)
+
+    try:
+        with open(CACHE_DIR / "eat_rate_10m.json") as f:
+            out["eat_rate_10m"] = json.load(f)
+    except (OSError, ValueError):
+        pass
+
+    print(f"# host-only: ingest {out.get('host_ingest_ex_s', 0):,} ex/s, "
+          f"predict {out.get('predict_ex_s', 'n/a')} ex/s", file=sys.stderr)
+    return out
+
+
 def bench_decomposition(rows: int) -> dict:
     """Split the end-to-end pipeline into its serial resources so a
     tunnel-bound environment is provable rather than asserted:
@@ -283,6 +342,23 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     mi = ModelInstance.from_cmdline(args, vw)
     model = FwModel(mi, precision="default")
 
+    # ---- host-only rows FIRST, persisted as a partial result: the device
+    # tunnel can wedge for many minutes at a time (watchdog kills the run),
+    # and these rows — predict via the native engine, ingest rates, the
+    # quantizer — are real baseline evidence that need no device at all
+    host = {}
+    try:
+        host.update(host_only_probes(rows, args, mi, vw))
+        _partial({
+            "metric": f"end-to-end train examples/s (Eat-Rate benchmark "
+                      f"schema, {rows} rows, b=25 AdaGrad, --interactions "
+                      f"AB) [host-only probes; device phases pending]",
+            "value": 0.0, "unit": "examples/s", "vs_baseline": 0.0,
+            **host,
+        })
+    except Exception as e:  # noqa: BLE001
+        print(f"# host-only probes failed: {e}", file=sys.stderr)
+
     # warmup run on a slice to absorb compile time (the reference's numbers
     # exclude binary build time; XLA compilation is our build step). The
     # slice must cover at least one full superbatch (8 x 32768) so the
@@ -319,6 +395,7 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         "runs": [round(r, 1) for r in runs],
         "best": round(ex_s, 1),
         "vs_baseline_best": round(ex_s / BASELINE, 3),
+        **host,
     }
 
     def checkpoint():
@@ -401,34 +478,6 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
                   file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# device-step failed: {e}", file=sys.stderr)
-
-    # quantize/dequantize 10M weights — the reference's (ignored) perf gate
-    # is < 300 ms each (reference: src/quantization.rs:162-175)
-    try:
-        from fwumious_wabbit_tpu.persistence import quantization as q
-
-        wq = np.random.default_rng(0).normal(size=10_000_000).astype(np.float32)
-        t0 = time.perf_counter()
-        blob = q.quantize_ffm_weights(wq)
-        t_q = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _ = q.dequantize_ffm_weights(blob, wq.size)
-        t_dq = time.perf_counter() - t0
-        extras["quantize_10m_ms"] = round(t_q * 1e3, 1)
-        extras["dequantize_10m_ms"] = round(t_dq * 1e3, 1)
-        print(f"# quantize/dequantize 10M weights: {t_q*1e3:.0f} / "
-              f"{t_dq*1e3:.0f} ms (reference gate < 300 ms)", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"# quantize probe failed: {e}", file=sys.stderr)
-
-    # learning-parity evidence from the 10M-row gate (scripts/basic_gate.sh
-    # gate 4), folded in when present: the reference's one published
-    # model-quality number is 0.6370 test logloss at 10M rows
-    try:
-        with open(CACHE_DIR / "eat_rate_10m.json") as f:
-            extras["eat_rate_10m"] = json.load(f)
-    except (OSError, ValueError):
-        pass
 
     extras["peak_rss_mb"] = peak_rss_mb()
     dec = extras.get("decomposition")
