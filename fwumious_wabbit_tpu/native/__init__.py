@@ -96,6 +96,8 @@ def _configure(lib):
     lib.fwn_all_ones.argtypes = [ctypes.c_void_p]
     lib.fwn_batch_counts.argtypes = [P(i32), P(i8), P(f32), i64,
                                      ctypes.c_int32, P(ctypes.c_uint8)]
+    lib.fwn_count_byte.restype = i64
+    lib.fwn_count_byte.argtypes = [ctypes.c_char_p, i64, ctypes.c_int]
     lib.fwn_murmur3.restype = u32
     lib.fwn_murmur3.argtypes = [ctypes.c_char_p, i64, u32]
     lib.fwn_format_preds.restype = i64
@@ -177,7 +179,7 @@ class EmbeddedPredictor:
         partial line is left unconsumed for the caller to carry into the
         next chunk. This is the CLI predict (-t) hot loop — one C call per
         multi-MB chunk instead of one per line."""
-        cap = buf.count(b"\n") + 1
+        cap = self._lib.fwn_count_byte(buf, len(buf), 10) + 1
         out = np.empty(cap, np.float32)
         consumed = ctypes.c_int64()
         status = ctypes.c_int32()
