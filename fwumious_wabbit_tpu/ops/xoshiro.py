@@ -7,7 +7,7 @@ offsets and draws Xavier-uniform or Hu(He)-normal weights; bit-exact init
 parity therefore needs: SplitMix64 seeding (``seed_from_u64``), the
 xoshiro256++ output function, rand's ``Uniform<f64>`` / ``Standard`` /
 ``Open01`` float derivations, and rand_distr's ziggurat StandardNormal
-(256-strip Marsaglia-Tsang tables, R=3.654152885361239, area
+(256-strip Marsaglia-Tsang tables, R=3.654152885361008796, area
 V=0.00492867323399). All arithmetic below follows those crates' published
 algorithms at f64 precision; the ziggurat tables are regenerated from the
 standard recurrence (x[0] = V/pdf(R), f(x_{i+1}) = f(x_i) + V/x_i) rather

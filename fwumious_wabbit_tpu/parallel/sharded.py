@@ -166,7 +166,7 @@ def _a2a_take(local: jnp.ndarray, rid: jnp.ndarray, n_t: int, capacity: int):
     flat = recv_rows.reshape(n_t * capacity, lane)
     rows = jnp.take(flat, jnp.where(valid, owner * capacity + slot, 0), axis=0)
     rows = jnp.where(valid[:, None], rows, 0.0)
-    return rows.reshape(*shape, lane), jnp.sum(~valid).astype(jnp.int32)
+    return rows.reshape(*shape, lane)
 
 
 def _a2a_row_update(opt, w_local, acc_local, rid, grows, n_t: int, capacity: int):
@@ -198,7 +198,15 @@ def _a2a_row_update(opt, w_local, acc_local, rid, grows, n_t: int, capacity: int
     g = jnp.where(ok[:, None], all_g, 0.0)
     lrid_safe = jnp.clip(lrid, 0, rl - 1)
     w, acc = _apply_local_rows(opt, w_local, acc_local, lrid_safe, g)
-    return w, acc, jnp.sum(~valid).astype(jnp.int32)
+    # dropped = overflowed occurrences that actually carried gradient:
+    # padding slots (id 0, zero rows) bucket to owner 0 and can overflow a
+    # tight capacity, but losing them loses nothing — counting them would
+    # fire spurious 'raise --fwt_a2a_capacity' warnings on every partial
+    # tail batch. Counted ONCE per occurrence (here, not in the lookup:
+    # the same occurrence overflows both legs).
+    real = jnp.any(grows != 0.0, axis=1)
+    dropped = jnp.sum((~valid) & real).astype(jnp.int32)
+    return w, acc, dropped
 
 
 def a2a_capacity(n_occurrences: int, n_t: int, capacity_factor: float) -> int:
@@ -272,9 +280,7 @@ def make_sharded_train_step(model: FwModel, mesh, exchange: str = "auto",
     def take(local, rid):
         if a2a:
             cap = a2a_capacity(rid.size, n_t, capacity_factor)
-            rows, d = _a2a_take(local, rid, n_t, cap)
-            drops.append(d)
-            return rows
+            return _a2a_take(local, rid, n_t, cap)
         return _sharded_take(local, rid)
 
     def row_update(opt, w_local, acc_local, rid, grows):

@@ -350,6 +350,7 @@ def native_predict_eligible(args) -> bool:
         and getattr(args, "initial_regressor", None)
         and getattr(args, "data", None)
         and not getattr(args, "cache", False)
+        and not getattr(args, "final_regressor", None)
         and not getattr(args, "fwt_no_native", False)
         and (getattr(args, "fwt_serve_engine", "auto") or "auto") != "device"
         and int(getattr(args, "fwt_table_axis", 1) or 1) <= 1
@@ -364,7 +365,9 @@ def run_native_predict(args, pred=None) -> dict:
     Streams the input file in chunks through fw_predict_block; behavior
     matches the device loop: predictions '{:.6f}' after --predictions_after,
     empty line ends the stream, in-band commands abort the run like the
-    reference (src/main.rs:218-221)."""
+    reference (src/main.rs:218-221). Runs with --final_regressor are NOT
+    eligible (main()'s device path writes the model file after the loop;
+    this path returns before that tail)."""
     from .. import native as fw_native
 
     if pred is None:
@@ -514,6 +517,27 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     example_num = 0
     t0 = time.time()
 
+    def finish_run(params):
+        """Drain the delay queue + prediction pipeline, log, and build the
+        result dict — shared by the single-host and multi-host tails."""
+        if delay > 0 and not testonly and train_step is not None:
+            for bd, _n in delayed:
+                params, _ = call_train(params, bd)
+        _finish_writes()
+        writer.close()
+        dropped = int(a2a_dropped) if a2a_dropped is not None else 0
+        if dropped > 0:
+            log.warning(
+                "a2a exchange dropped %d occurrence(s) past the static "
+                "per-destination capacity this run (their lookups read zero "
+                "and their updates were skipped) — raise --fwt_a2a_capacity "
+                "if the id distribution is skewed", dropped)
+        elapsed = time.time() - t0
+        log.info("Elapsed: %.2fs rows: %d (%.0f ex/s)", elapsed, example_num,
+                 example_num / max(elapsed, 1e-9))
+        return {"params": params, "examples": example_num,
+                "elapsed": elapsed, "a2a_dropped": dropped}
+
     # delayed-learning queue of (batch_dict, n) when --prediction_model_delay
     delayed: list = []
     delayed_examples = 0
@@ -633,17 +657,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
             for bd, n in native_batch_stream(args, mi, vw, batch_size,
                                              cut_at, count_keys):
                 params = process(params, bd, n)
-            if delay > 0 and not testonly and train_step is not None:
-                for bd, _n in delayed:
-                    params, _ = call_train(params, bd)
-            _finish_writes()
-            writer.close()
-            elapsed = time.time() - t0
-            log.info("Elapsed: %.2fs rows: %d (%.0f ex/s)", elapsed,
-                     example_num, example_num / max(elapsed, 1e-9))
-            dropped = int(a2a_dropped) if a2a_dropped is not None else 0
-            return {"params": params, "examples": example_num,
-                    "elapsed": elapsed, "a2a_dropped": dropped}
+            return finish_run(params)
 
         # three-stage pipeline: C++ ingest, host→device transfer, and step
         # dispatch each on their own thread. Both ingest and device_put
@@ -805,24 +819,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         params = flush(params)
 
     # drain the delay queue and the prediction pipeline
-    if delay > 0 and not testonly and train_step is not None:
-        for bd, _n in delayed:
-            params, _ = call_train(params, bd)
-    _finish_writes()
-
-    writer.close()
-    dropped = int(a2a_dropped) if a2a_dropped is not None else 0
-    if dropped > 0:
-        log.warning(
-            "a2a exchange dropped %d occurrence(s) past the static "
-            "per-destination capacity this run (their lookups read zero "
-            "and their updates were skipped) — raise --fwt_a2a_capacity "
-            "if the id distribution is skewed", dropped)
-    elapsed = time.time() - t0
-    log.info("Elapsed: %.2fs rows: %d (%.0f ex/s)", elapsed, example_num,
-             example_num / max(elapsed, 1e-9))
-    return {"params": params, "examples": example_num, "elapsed": elapsed,
-            "a2a_dropped": dropped}
+    return finish_run(params)
 
 
 def _daemonize() -> None:

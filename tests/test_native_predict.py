@@ -121,3 +121,18 @@ def test_device_engine_forced_for_unsupported_flags(model_dir):
         build_parser().parse_args(base + ["--fwt_serve_engine", "device"]))
     assert not native_predict_eligible(
         build_parser().parse_args(base + ["--fwt_no_native"]))
+
+
+def test_final_regressor_not_eligible_and_still_written(model_dir, tmp_path):
+    """-t -i -f must still WRITE the output model (the native fast path
+    returns before main()'s save tail, so it must not be eligible)."""
+    from fwumious_wabbit_tpu.config.cmdline import build_parser
+    from fwumious_wabbit_tpu.train.loop import native_predict_eligible
+
+    d, model = model_dir
+    out = tmp_path / "copy.fw"
+    argv = FLAGS + ["--data", str(d / "test-hard.vw"), "-t", "-i", str(model),
+                    "-f", str(out), "--save_resume"]
+    assert not native_predict_eligible(build_parser().parse_args(argv))
+    assert _cli(argv) == 0
+    assert out.exists() and out.stat().st_size > 1000
