@@ -18,7 +18,6 @@ Usage: python bench.py [--rows N] [--cpu] [--device-step]
                  (the old metric; kept for kernel-level regression checks).
 """
 
-import functools
 import json
 import os
 import sys

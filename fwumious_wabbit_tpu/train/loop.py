@@ -149,13 +149,6 @@ def _batch_dict(batch) -> dict:
     }
 
 
-def _bucket_pow2(n: int, minimum: int = 8) -> int:
-    b = max(minimum, 1)
-    while b < n:
-        b *= 2
-    return b
-
-
 def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
                         batch_size: int, cut_at: int | None = None,
                         count_keys: dict | None = None):
