@@ -376,10 +376,46 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     # TPU here sits behind a shared tunnel whose bandwidth fluctuates run
     # to run; stop early if passes are crawling so the whole bench stays
     # inside the driver's budget
+    # a packed superbatch for the per-run transfer probe: the tunnel's
+    # bandwidth swings minute to minute, so pipeline_efficiency must
+    # compare each run against a transfer rate measured in ITS window
+    from fwumious_wabbit_tpu.train import packed as packed_mod
+    from fwumious_wabbit_tpu.train.loop import native_batch_stream
+
+    probe_buf = None
+    try:
+        staged = []
+        for bd, _k in native_batch_stream(args, mi, vw, 32768,
+                                          count_keys={"lr": 0}):
+            bd, appends = packed_mod.strip_constant_columns(
+                bd, mi.lr_hash_mask)
+            staged.append(bd)
+            if len(staged) >= 8:
+                break
+        lay0 = packed_mod.layout_of(staged[0], appends)
+        probe_buf = packed_mod.pack(lay0, staged)
+    except Exception as e:  # noqa: BLE001
+        print(f"# transfer-probe setup failed: {e}", file=sys.stderr)
+
+    def probe_transfer():
+        if probe_buf is None:
+            return None
+        import jax
+
+        t0 = time.perf_counter()
+        o = jax.device_put(probe_buf)
+        _ = np.asarray(o[:1, :1])
+        dt = time.perf_counter() - t0
+        return 8 * 32768 / dt
+
     runs = []
+    run_transfer = []
     for _ in range(3):
         result = run_train_loop(args, mi, vw, model)
         runs.append(result["examples"] / result["elapsed"])
+        tr = probe_transfer()
+        if tr is not None:
+            run_transfer.append(round(tr))
         if result["elapsed"] > 45.0:
             break
     ex_s = max(runs)
@@ -396,6 +432,13 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         "vs_baseline_best": round(ex_s / BASELINE, 3),
         **host,
     }
+    if run_transfer:
+        extras["run_transfer_ex_s"] = run_transfer
+        # per-run efficiency vs the transfer rate of the SAME window (the
+        # swinging term; ingest/step are stable and higher)
+        eff = [round(r / t, 3) for r, t in zip(runs, run_transfer) if t > 0]
+        if eff:
+            extras["pipeline_efficiency_same_window"] = max(eff)
 
     def checkpoint():
         # headline value/vs_baseline use the MEAN — the reference's table is
