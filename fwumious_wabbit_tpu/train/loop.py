@@ -549,11 +549,21 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     def _pred_writer():
         try:
             while (item := _wq.get()) is not None:
-                preds, first_num, n = item
-                # [B] from a single step or [K, B] from a packed one
-                preds = np.asarray(preds).reshape(-1)[:n]
+                preds, metas = item
+                # ONE host fetch per item: [B] from a single step, [K, B]
+                # from a packed one, or [M, K, B] from a fetch-stack — the
+                # metas list maps leading rows back to example segments.
+                arr = np.asarray(preds)
+                if len(metas) > 1:
+                    arr = arr.reshape(arr.shape[0], -1)
+                    for i, (first_num, n) in enumerate(metas):
+                        skip = max(0, predictions_after - first_num + 1)
+                        writer.write_block(arr[i, :n][skip:])
+                    continue
+                first_num, n = metas[0]
+                seg = arr.reshape(-1)[:n]
                 skip = max(0, predictions_after - first_num + 1)
-                writer.write_block(preds[skip:])
+                writer.write_block(seg[skip:])
         except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
             _werr.append(e)
             while _wq.get() is not None:  # unblock the producer
@@ -612,7 +622,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 preds = multihost_utils.process_allgather(preds, tiled=True)
             elif hasattr(preds, "copy_to_host_async"):
                 preds.copy_to_host_async()  # overlap D2H with host work
-            _wq.put((preds, first_num, n))  # blocks when the pipeline is full
+            _wq.put((preds, [(first_num, n)]))  # blocks when pipeline is full
         if _werr:
             raise _werr[0]
         return params
@@ -746,6 +756,45 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
 
         threading.Thread(target=producer, daemon=True).start()
         threading.Thread(target=transferrer, daemon=True).start()
+
+        # fetch-stacking (EXPERIMENTAL, default OFF): stack M superbatches'
+        # predictions into one [M, K, B] device array and fetch ONCE,
+        # trading M fetch RPCs for one stack-dispatch RPC + one fetch.
+        # Measured on the axon v5e tunnel (same-process interleaved A/B,
+        # 3 reps): M=4 300k ex/s vs M=1 321k — consistently SLOWER, because
+        # the per-step copy_to_host_async fetches already overlap with
+        # compute while the stack dispatch adds a synchronous RPC and delays
+        # the first byte of writeback by 3 extra steps. Kept as an opt-in
+        # knob for links with different latency/overlap behavior. Short
+        # flushes pad the stack with a dummy row so one program serves all.
+        M = int(getattr(args, "fwt_fetch_stack", 0) or 0)
+        if M <= 0:
+            M = 1
+        _stack: list = []  # (preds_dev [K,B], first_num, n)
+        _stack_fns: dict = {}
+
+        def _flush_stack():
+            if not _stack:
+                return
+            if len(_stack) == 1:
+                preds, fnum, n = _stack[0]
+                if hasattr(preds, "copy_to_host_async"):
+                    preds.copy_to_host_async()
+                _wq.put((preds, [(fnum, n)]))
+            else:
+                import jax.numpy as jnp
+
+                fn = _stack_fns.get(M)
+                if fn is None:
+                    fn = _stack_fns[M] = jax.jit(lambda *xs: jnp.stack(xs))
+                arrs = [p for p, _, _ in _stack]
+                arrs += [arrs[0]] * (M - len(arrs))  # pad: one program
+                stacked = fn(*arrs)
+                if hasattr(stacked, "copy_to_host_async"):
+                    stacked.copy_to_host_async()
+                _wq.put((stacked, [(f, n) for _, f, n in _stack]))
+            _stack.clear()
+
         while True:
             item = q2.get()
             if item is None:
@@ -759,14 +808,21 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 example_num += gn
                 params, preds = step_fn(params, buf)  # preds [K, B]
                 if writer.active:
-                    if hasattr(preds, "copy_to_host_async"):
-                        preds.copy_to_host_async()
-                    _wq.put((preds, first_num, gn))
+                    if M > 1:
+                        _stack.append((preds, first_num, gn))
+                        if len(_stack) == M:
+                            _flush_stack()
+                    else:
+                        if hasattr(preds, "copy_to_host_async"):
+                            preds.copy_to_host_async()
+                        _wq.put((preds, [(first_num, gn)]))
                 if _werr:
                     raise _werr[0]
             else:
                 _, bd, n = item
+                _flush_stack()  # keep the prediction stream in order
                 params = process(params, bd, n, placed=True)
+        _flush_stack()
     else:
         pending: list = []
 

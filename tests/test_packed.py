@@ -118,3 +118,43 @@ def test_packed_equals_unpacked_with_constant_feature(tmp_path):
     run_cli(base + ["-p", str(p3), "-f", str(m3), "--fwt_superbatch", "3"])
     assert p1.read_text() == p3.read_text()
     assert m1.read_bytes() == m3.read_bytes()
+
+@pytest.mark.parametrize("mflag", ["1", "2", "4", "7"])
+def test_fetch_stack_identical_predictions(tmp_path, mflag):
+    """--fwt_fetch_stack M vs the unstacked path: byte-identical predictions
+    (including a short tail flush where the stack pads with a dummy row) —
+    stacking only changes D2H plumbing, never the written stream."""
+    from fwumious_wabbit_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+
+    gen_dataset(tmp_path, n_train=5000, n_eval=10)
+    base = FLAGS + ["--data", str(tmp_path / "train.vw"), "--save_resume",
+                    "--fwt_superbatch", "3"]
+    p1, m1 = tmp_path / "a.preds", tmp_path / "a.model"
+    p2, m2 = tmp_path / "b.preds", tmp_path / "b.model"
+    run_cli(base + ["-p", str(p1), "-f", str(m1), "--fwt_fetch_stack", "1"])
+    run_cli(base + ["-p", str(p2), "-f", str(m2),
+                    "--fwt_fetch_stack", mflag])
+    assert p1.read_text() == p2.read_text()
+    assert p1.stat().st_size > 0
+    assert m1.read_bytes() == m2.read_bytes()
+
+
+def test_fetch_stack_with_predictions_after(tmp_path):
+    """predictions_after slicing applies per stacked segment, not per fetch."""
+    from fwumious_wabbit_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+
+    gen_dataset(tmp_path, n_train=4000, n_eval=10)
+    base = FLAGS + ["--data", str(tmp_path / "train.vw"),
+                    "--predictions_after", "1500", "--fwt_superbatch", "3"]
+    p1 = tmp_path / "a.preds"
+    p2 = tmp_path / "b.preds"
+    run_cli(base + ["-p", str(p1), "--fwt_fetch_stack", "1"])
+    run_cli(base + ["-p", str(p2), "--fwt_fetch_stack", "4"])
+    assert p1.read_text() == p2.read_text()
+    assert len(p1.read_text().splitlines()) == 4000 - 1500
