@@ -79,6 +79,8 @@ def _configure(lib):
     lib.fwn_ffm_max.argtypes = [ctypes.c_void_p]
     lib.fwn_records_consumed.restype = i64
     lib.fwn_records_consumed.argtypes = [ctypes.c_void_p]
+    lib.fwn_stop_offset.restype = i64
+    lib.fwn_stop_offset.argtypes = [ctypes.c_void_p]
     lib.fwn_records_len.restype = i64
     lib.fwn_records_len.argtypes = [ctypes.c_void_p]
     lib.fwn_records_copy.argtypes = [ctypes.c_void_p, P(u32)]
@@ -354,6 +356,13 @@ class NativeIngest:
         """Words consumed by the last translate_records (a partial trailing
         record is left for the caller to carry over)."""
         return int(self._lib.fwn_records_consumed(self._ctx))
+
+    def stop_offset(self) -> int:
+        """Byte offset of the empty line (= end-of-stream, reference
+        src/main.rs:215-222) that ended the last translate_block, or -1.
+        Detected during the parse walk — callers stop reading further input
+        instead of pre-scanning each chunk for "\\n\\n" patterns."""
+        return int(self._lib.fwn_stop_offset(self._ctx))
 
     def records(self) -> np.ndarray:
         """Packed u32 records of the last translated block (cache writing)."""

@@ -212,6 +212,11 @@ struct Ctx {
   // rescanning the whole block's value arrays per call measured 21% of
   // ingest time at B=32k.
   int all_ones_cache = -1;
+  // byte offset of the empty line that ended the last translated block
+  // (an empty line = end-of-stream, reference src/main.rs:215-222), or -1.
+  // Detected during the parse walk itself — the former Python-side
+  // bytes.find pre-scans for "\n\n"/"\n\r\n" cost ~9% of ingest.
+  int64_t stop_offset = -1;
 };
 
 // ---------------------------------------------------------------------------

@@ -130,6 +130,7 @@ static std::vector<int> slot_formats(const Config& c) {
 int64_t fwn_translate_block(void* p, const char* buf, int64_t len) {
   auto* ctx = static_cast<Ctx*>(p);
   ctx->all_ones_cache = -1;
+  ctx->stop_offset = -1;
   const Config& cfg = ctx->cfg;
   const auto* data = reinterpret_cast<const uint8_t*>(buf);
 
@@ -151,7 +152,20 @@ int64_t fwn_translate_block(void* p, const char* buf, int64_t len) {
   T = int(ranges.size());
 
   auto formats = slot_formats(cfg);
-  std::atomic<bool> failed{false};
+  // end-of-stream / abort resolution by BYTE OFFSET: an empty line ends the
+  // stream (reference src/main.rs:215-222), an in-band command or parse
+  // error aborts — but only if it occurs BEFORE the earliest empty line
+  // (content after the end-of-stream marker is never "seen"). Each shard
+  // CAS-mins the offset of what it hit; shards whose range lies past the
+  // earliest stop exit early and are discarded after the join.
+  std::atomic<int64_t> stop_min{INT64_MAX}, err_min{INT64_MAX};
+  auto cas_min = [](std::atomic<int64_t>& a, int64_t v) {
+    int64_t cur = a.load(std::memory_order_relaxed);
+    while (v < cur &&
+           !a.compare_exchange_weak(cur, v, std::memory_order_relaxed)) {
+    }
+  };
+  std::vector<int64_t> shard_err_off(size_t(T), INT64_MAX);
 
   auto work = [&](int t) {
     Shard& sh = ctx->shards[t];
@@ -159,7 +173,8 @@ int64_t fwn_translate_block(void* p, const char* buf, int64_t len) {
     auto [rs, re] = ranges[t];
     int64_t i = rs;
     std::vector<uint32_t> scratch;  // reused per line when records not kept
-    while (i < re && !failed.load(std::memory_order_relaxed)) {
+    while (i < re && i < stop_min.load(std::memory_order_relaxed) &&
+           i < err_min.load(std::memory_order_relaxed)) {
       // memchr: libc's SIMD scan beats the byte loop on ~120-byte lines
       const void* nl = std::memchr(data + i, '\n', size_t(re - i));
       int64_t j = nl ? int64_t(static_cast<const uint8_t*>(nl) - data) : re;
@@ -170,18 +185,24 @@ int64_t fwn_translate_block(void* p, const char* buf, int64_t len) {
       LineKind kind = parse_line(cfg, data + i, size_t(j - i), rec, err);
       if (kind == LineKind::Example) {
         translate_record(cfg, rec.data() + rec_base, formats, sh);
+      } else if (kind == LineKind::Empty) {
+        cas_min(stop_min, i);
+        return;
       } else if (kind == LineKind::Flush) {
         sh.error = "Not really an error: a \"flush\" command from client";
-        failed.store(true, std::memory_order_relaxed);
+        shard_err_off[t] = i;
+        cas_min(err_min, i);
         return;
       } else if (kind == LineKind::HogwildLoad) {
         sh.error =
             "Not really an error: a \"hogwild_load\" command from client";
-        failed.store(true, std::memory_order_relaxed);
+        shard_err_off[t] = i;
+        cas_min(err_min, i);
         return;
       } else if (kind == LineKind::Error) {
         sh.error = err;
-        failed.store(true, std::memory_order_relaxed);
+        shard_err_off[t] = i;
+        cas_min(err_min, i);
         return;
       }
       i = j + 1;
@@ -197,11 +218,24 @@ int64_t fwn_translate_block(void* p, const char* buf, int64_t len) {
   }
   for (int t = T; t < int(ctx->shards.size()); t++) ctx->shards[t].clear();
 
-  for (int t = 0; t < T; t++) {
-    if (!ctx->shards[t].error.empty()) {
-      ctx->error = ctx->shards[t].error;
-      return -1;
+  const int64_t stop = stop_min.load(std::memory_order_relaxed);
+  const int64_t aerr = err_min.load(std::memory_order_relaxed);
+  if (aerr < stop) {
+    for (int t = 0; t < T; t++) {
+      if (shard_err_off[t] == aerr) {
+        ctx->error = ctx->shards[t].error;
+        return -1;
+      }
     }
+  }
+  if (stop != INT64_MAX) {
+    ctx->stop_offset = stop;
+    // shards whose whole range lies after the stop parsed post-EOF bytes
+    for (int t = 0; t < T; t++) {
+      if (ranges[t].first > stop) ctx->shards[t].clear();
+    }
+  } else {
+    ctx->stop_offset = -1;
   }
 
   int64_t n = 0;
@@ -228,6 +262,7 @@ int64_t fwn_translate_block(void* p, const char* buf, int64_t len) {
 int64_t fwn_translate_records(void* p, const uint32_t* recs, int64_t words) {
   auto* ctx = static_cast<Ctx*>(p);
   ctx->all_ones_cache = -1;
+  ctx->stop_offset = -1;
   const Config& cfg = ctx->cfg;
   auto formats = slot_formats(cfg);
   for (auto& sh : ctx->shards) sh.clear();
@@ -262,6 +297,12 @@ int fwn_lr_max(void* p) { return static_cast<Ctx*>(p)->lr_max; }
 // words consumed by the last fwn_translate_records call
 int64_t fwn_records_consumed(void* p) {
   return static_cast<Ctx*>(p)->records_consumed;
+}
+
+// byte offset of the empty line (end-of-stream marker) that ended the last
+// fwn_translate_block, or -1 if the block had none
+int64_t fwn_stop_offset(void* p) {
+  return static_cast<Ctx*>(p)->stop_offset;
 }
 
 // toggle packed-record accumulation (only needed when writing a cache)

@@ -290,24 +290,15 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
                     tail, raw = raw[nl + 1 :], raw[: nl + 1]
             if not raw:
                 continue
+            n = ni.translate_block(raw)
             # empty line = end of stream, mirroring the reference's size-0
-            # record (src/main.rs:215-222) — shows up as a leading newline
-            # or a "\n\n"/"\n\r\n" sequence (C-speed scans, rare hit)
-            cut = -1
-            if raw[:1] == b"\n" or raw[:2] == b"\r\n":
-                cut = 0
-            else:
-                for pat in (b"\n\n", b"\n\r\n"):
-                    i = raw.find(pat)
-                    if i >= 0:
-                        cut = i + 1 if cut < 0 else min(cut, i + 1)
-            if cut >= 0:
-                raw = raw[:cut]
+            # record (src/main.rs:215-222) — detected during the C parse
+            # walk itself (anything after it, including in-band commands,
+            # is never seen); the former per-chunk Python "\n\n"/"\n\r\n"
+            # pre-scans cost ~9% of ingest CPU
+            if ni.stop_offset() >= 0:
                 at_eof = True
                 tail = b""
-            if not raw:
-                break
-            n = ni.translate_block(raw)
             if not n:
                 continue
             if writer is not None:

@@ -244,3 +244,56 @@ def test_accepted_flag_smoke(tmp_path, extra):
                    *extra])
     assert rc == 0
     assert len((tmp_path / "p.out").read_text().splitlines()) == 24
+
+
+@pytest.mark.skipif(native.load() is None, reason="no native toolchain")
+def test_inband_command_after_empty_line_is_never_seen(tmp_path):
+    """An in-band flush AFTER the empty-line end-of-stream marker must NOT
+    abort: the stream ended before it (the C engine resolves stop vs abort
+    by byte offset now that empty-line detection lives in the parse walk)."""
+    data = write_dataset(tmp_path, rows=50)
+    text = data.read_text()
+    with open(data, "w") as f:
+        f.write("".join(text.splitlines(keepends=True)[:30]))
+        f.write("\n")  # empty line = EOF
+        f.write("flush\n")
+        f.write("".join(text.splitlines(keepends=True)[30:]))
+    out = run(tmp_path, data, [], "cutflush.out")
+    assert len(out.splitlines()) == 30
+    out_py = run(tmp_path, data, ["--fwt_no_native"], "cutflush_py.out")
+    assert out == out_py
+
+
+@pytest.mark.skipif(native.load() is None, reason="no native toolchain")
+def test_empty_line_stop_with_parallel_shards(tmp_path):
+    """Early empty line in a block wide enough to span every parse shard:
+    later shards parse post-EOF bytes and must be discarded wholesale."""
+    from fwumious_wabbit_tpu.train.loop import native_batch_stream
+
+    data = write_dataset(tmp_path, rows=20000)
+    text = data.read_text()
+    lines = text.splitlines(keepends=True)
+    with open(data, "w") as f:
+        f.write("".join(lines[:100]))
+        f.write("\n")  # EOF marker at ~0.5% into the block
+        f.write("".join(lines[100:]))
+    argv = ["--keep", "A", "--keep", "B", "-b", "20", "--adaptive",
+            "-l", "0.1", "--data", str(data), "--fwt_batch_size", "64"]
+    args = build_parser().parse_args(argv)
+    vw = VwNamespaceMap.from_dataset_dir(str(data))
+    mi = ModelInstance.from_cmdline(args, vw)
+    # force multi-threaded parsing regardless of host core count
+    import fwumious_wabbit_tpu.native as fw_native
+
+    orig = fw_native.NativeIngest.__init__
+
+    def patched(self, mi_, vw_, num_threads=None):
+        orig(self, mi_, vw_, num_threads=4)
+
+    fw_native.NativeIngest.__init__ = patched
+    try:
+        total = sum(k for _bd, k in
+                    native_batch_stream(args, mi, vw, 64))
+    finally:
+        fw_native.NativeIngest.__init__ = orig
+    assert total == 100
