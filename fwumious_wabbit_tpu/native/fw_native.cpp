@@ -451,18 +451,28 @@ void fwn_batch_counts(const int32_t* ids, const int8_t* mark,
   }
   size_t n = cur.size();
   std::vector<uint64_t> nxt(n);
-  // radix-16: two passes instead of four (keys are hash ids ≤ 2^31; a
-  // 64Ki-bucket histogram is 512 KB — L2-resident). Constant high halves
-  // skip their pass via the seen mask.
+  // adaptive two-pass radix: size the digit widths to the ACTUAL key range
+  // (the seen mask's high bit). Hash ids are < 2^25 on typical configs, so
+  // ~13+12-bit passes replace fixed 16+16 — the scatter's working set
+  // (bucket destinations + rolling pointers) drops from ~4 MB to L2-resident
+  // and the second pass stops paying for 64Ki mostly-empty buckets.
+  int key_bits = 32;
+  while (key_bits > 1 && !(seen >> (key_bits - 1))) key_bits--;
+  if (seen == 0) key_bits = 1;
+  int b1 = (key_bits + 1) / 2;      // low-digit width (first pass)
+  int b2 = key_bits - b1;           // high-digit width (second pass)
   static thread_local std::vector<size_t> hist;
   for (int pass = 0; pass < 2; pass++) {
-    if (((seen >> (16 * pass)) & 0xFFFF) == 0) continue;
-    int bit = 24 + 16 * pass;
-    hist.assign(65537, 0);
-    for (size_t i = 0; i < n; i++) hist[((cur[i] >> bit) & 0xFFFF) + 1]++;
-    for (int b = 0; b < 65536; b++) hist[b + 1] += hist[b];
+    int bit = pass == 0 ? 24 : 24 + b1;
+    int width = pass == 0 ? b1 : b2;
+    if (width <= 0) continue;
+    size_t buckets = size_t(1) << width;
+    uint64_t mask = buckets - 1;
+    hist.assign(buckets + 1, 0);
+    for (size_t i = 0; i < n; i++) hist[((cur[i] >> bit) & mask) + 1]++;
+    for (size_t b = 0; b < buckets; b++) hist[b + 1] += hist[b];
     for (size_t i = 0; i < n; i++)
-      nxt[hist[(cur[i] >> bit) & 0xFFFF]++] = cur[i];
+      nxt[hist[(cur[i] >> bit) & mask]++] = cur[i];
     cur.swap(nxt);
   }
   // run-length counts over the sorted keys, written back via the index
