@@ -154,15 +154,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "identical to K separate steps). 0 = auto "
                         "(8 on the native single-device path), 1 = off")
     g.add_argument("--fwt_fetch_stack", type=int, default=0, metavar="M",
-                   help="EXPERIMENTAL: stack the predictions of M "
-                        "consecutive superbatches into one device array and "
-                        "fetch them in ONE device→host RPC. Pure transfer "
+                   help="EXPERIMENTAL: write each packed step's predictions "
+                        "into a device-resident [M, K, B] ring inside the "
+                        "step program and fetch the ring once per M "
+                        "superbatches — M× fewer device→host fetch RPCs "
+                        "with zero extra dispatches. Pure transfer "
                         "plumbing — written predictions are identical. "
-                        "0 = auto (currently off: a same-process interleaved "
-                        "A/B on the axon v5e tunnel measured M=4 ~4%% SLOWER "
-                        "than M=1 — the extra stack dispatch RPC costs more "
-                        "than the saved fetches while per-step async D2H "
-                        "copies already overlap), 1 = off")
+                        "0 = auto (currently off pending a measured win; "
+                        "per-step async fetches overlap fine in good "
+                        "tunnel windows), 1 = off")
     return p
 
 

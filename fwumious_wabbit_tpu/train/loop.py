@@ -748,43 +748,31 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         threading.Thread(target=producer, daemon=True).start()
         threading.Thread(target=transferrer, daemon=True).start()
 
-        # fetch-stacking (EXPERIMENTAL, default OFF): stack M superbatches'
-        # predictions into one [M, K, B] device array and fetch ONCE,
-        # trading M fetch RPCs for one stack-dispatch RPC + one fetch.
-        # Measured on the axon v5e tunnel (same-process interleaved A/B,
-        # 3 reps): M=4 300k ex/s vs M=1 321k — consistently SLOWER, because
-        # the per-step copy_to_host_async fetches already overlap with
-        # compute while the stack dispatch adds a synchronous RPC and delays
-        # the first byte of writeback by 3 extra steps. Kept as an opt-in
-        # knob for links with different latency/overlap behavior. Short
-        # flushes pad the stack with a dummy row so one program serves all.
+        # fetch-ring (EXPERIMENTAL, default OFF): each packed step writes
+        # its [K, B] predictions into row `slot` of a device-resident
+        # [M, K, B] ring INSIDE the step program (packed.py
+        # make_packed_train_step_ring) and the ring is fetched once per M
+        # superbatches — M× fewer D2H fetch RPCs with zero extra
+        # dispatches. (The earlier jnp.stack flush variant added a
+        # dispatch RPC per flush and measured ~4% SLOWER than per-step
+        # async fetching in a good tunnel window; the ring form targets
+        # BAD windows, where fetch RPCs head-of-line-block the uplink —
+        # measured with-`-p` collapses to 75–151k ex/s while no-`-p` runs
+        # 399–506k.)
         M = int(getattr(args, "fwt_fetch_stack", 0) or 0)
         if M <= 0:
             M = 1
-        _stack: list = []  # (preds_dev [K,B], first_num, n)
-        _stack_fns: dict = {}
+        use_ring = M > 1 and writer.active
+        _ring = None          # device [M, K, B] f32
+        _ring_metas: list = []  # (first_num, n) per written slot
 
-        def _flush_stack():
-            if not _stack:
+        def _flush_ring():
+            if not _ring_metas:
                 return
-            if len(_stack) == 1:
-                preds, fnum, n = _stack[0]
-                if hasattr(preds, "copy_to_host_async"):
-                    preds.copy_to_host_async()
-                _wq.put((preds, [(fnum, n)]))
-            else:
-                import jax.numpy as jnp
-
-                fn = _stack_fns.get(M)
-                if fn is None:
-                    fn = _stack_fns[M] = jax.jit(lambda *xs: jnp.stack(xs))
-                arrs = [p for p, _, _ in _stack]
-                arrs += [arrs[0]] * (M - len(arrs))  # pad: one program
-                stacked = fn(*arrs)
-                if hasattr(stacked, "copy_to_host_async"):
-                    stacked.copy_to_host_async()
-                _wq.put((stacked, [(f, n) for _, f, n in _stack]))
-            _stack.clear()
+            if hasattr(_ring, "copy_to_host_async"):
+                _ring.copy_to_host_async()
+            _wq.put((_ring, list(_ring_metas)))
+            _ring_metas.clear()
 
         while True:
             item = q2.get()
@@ -794,16 +782,23 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 raise item
             if item[0] == "p":
                 _, buf, lay, gn = item
-                step_fn = packed_mod.make_packed_train_step(model, lay, K)
                 first_num = example_num + 1
                 example_num += gn
-                params, preds = step_fn(params, buf)  # preds [K, B]
-                if writer.active:
-                    if M > 1:
-                        _stack.append((preds, first_num, gn))
-                        if len(_stack) == M:
-                            _flush_stack()
-                    else:
+                if use_ring:
+                    ring_fn = packed_mod.make_packed_train_step_ring(
+                        model, lay, K, M)
+                    if _ring is None:
+                        _ring = jax.device_put(
+                            np.zeros((M, K, batch_size), np.float32))
+                    params, _ring = ring_fn(
+                        params, buf, _ring, np.int32(len(_ring_metas)))
+                    _ring_metas.append((first_num, gn))
+                    if len(_ring_metas) == M:
+                        _flush_ring()
+                else:
+                    step_fn = packed_mod.make_packed_train_step(model, lay, K)
+                    params, preds = step_fn(params, buf)  # preds [K, B]
+                    if writer.active:
                         if hasattr(preds, "copy_to_host_async"):
                             preds.copy_to_host_async()
                         _wq.put((preds, [(first_num, gn)]))
@@ -811,9 +806,9 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     raise _werr[0]
             else:
                 _, bd, n = item
-                _flush_stack()  # keep the prediction stream in order
+                _flush_ring()  # keep the prediction stream in order
                 params = process(params, bd, n, placed=True)
-        _flush_stack()
+        _flush_ring()
     else:
         pending: list = []
 

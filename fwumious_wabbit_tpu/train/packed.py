@@ -183,3 +183,47 @@ def make_packed_train_step(model, layout: PackedLayout, K: int):
     jitted = jax.jit(packed_steps, donate_argnums=(0,))
     cache[key] = jitted
     return jitted
+
+
+def make_packed_train_step_ring(model, layout, K: int, M: int):
+    """(params, buf [K, words] u32, ring [M, K, B], slot) → (params, ring).
+
+    Identical math to :func:`make_packed_train_step`, but the superbatch's
+    predictions land in row ``slot`` of a device-resident ring instead of a
+    per-call output; the caller fetches the ring ONCE per M superbatches.
+    On a high-latency host↔device link the D2H fetch is latency-bound
+    (~35–55 ms per RPC regardless of size) and a fetch waiting on an
+    unfinished step can head-of-line-block the uplink — the ring cuts fetch
+    calls M× with ZERO extra dispatches. (An earlier variant stacked M
+    prediction arrays with a separate jitted ``jnp.stack`` flush; its extra
+    dispatch RPC per flush measured SLOWER than unstacked fetching.)
+    The ring is not donated: the previous flush's array stays valid for the
+    writer thread while later steps build the next one (one [M, K, B] HBM
+    copy per step — trivial device-side).
+    """
+    key = ("packed_ring", layout.signature, K, M)
+    cache = getattr(model, "_packed_steps", None)
+    if cache is None:
+        cache = model._packed_steps = {}
+    if key in cache:
+        return cache[key]
+
+    from .step import make_train_step
+
+    make_train_step(model)  # ensure the raw body exists
+    inner = model._train_step_raw
+
+    def body(params, row):
+        bd = unpack_row(row, layout)
+        params, p = inner(params, bd)
+        return params, p
+
+    def packed_steps_ring(params, buf, ring, slot):
+        params, preds = jax.lax.scan(body, params, buf)
+        ring = jax.lax.dynamic_update_slice(
+            ring, preds[None].astype(ring.dtype), (slot, 0, 0))
+        return params, ring
+
+    jitted = jax.jit(packed_steps_ring, donate_argnums=(0,))
+    cache[key] = jitted
+    return jitted

@@ -121,9 +121,10 @@ def test_packed_equals_unpacked_with_constant_feature(tmp_path):
 
 @pytest.mark.parametrize("mflag", ["1", "2", "4", "7"])
 def test_fetch_stack_identical_predictions(tmp_path, mflag):
-    """--fwt_fetch_stack M vs the unstacked path: byte-identical predictions
-    (including a short tail flush where the stack pads with a dummy row) —
-    stacking only changes D2H plumbing, never the written stream."""
+    """--fwt_fetch_stack M (device prediction ring) vs the per-step fetch
+    path: byte-identical predictions, including a short tail flush where
+    only the written ring slots are consumed — the ring only changes D2H
+    plumbing, never the written stream."""
     from fwumious_wabbit_tpu import native
 
     if native.load() is None:
