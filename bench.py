@@ -242,12 +242,20 @@ def bench_decomposition(rows: int) -> dict:
     except Exception as e:  # noqa: BLE001
         print(f"# cache-ingest probe failed: {e}", file=sys.stderr)
 
-    # -- transfer only: H2D of the production payload (packed superbatch),
-    # forced to completion
+    # -- transfer only: H2D of the production payload (packed superbatch
+    # with the production slimming: constant-column elision + id
+    # bit-packing), forced to completion
     while len(staged) < K:
         staged.append(staged[-1])
-    lay = packed_mod.layout_of(staged[0])
-    buf = packed_mod.pack(lay, staged)
+    slimmed, appends, bitpacks = zip(
+        *(packed_mod.prepare_for_transfer(b, mi) for b in staged))
+    if all(a == appends[0] and bp == bitpacks[0]
+           for a, bp in zip(appends, bitpacks)):
+        lay = packed_mod.layout_of(slimmed[0], appends[0], bitpacks[0])
+        buf = packed_mod.pack(lay, list(slimmed))
+    else:  # mixed slimming across batches: measure the unslimmed payload
+        lay = packed_mod.layout_of(staged[0])
+        buf = packed_mod.pack(lay, staged)
     batch_bytes = buf.nbytes // K
     reps = max(2, min(8, int(6e7 // max(buf.nbytes, 1))))
     warm = jax.device_put(buf)
@@ -387,12 +395,11 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         staged = []
         for bd, _k in native_batch_stream(args, mi, vw, 32768,
                                           count_keys={"lr": 0}):
-            bd, appends = packed_mod.strip_constant_columns(
-                bd, mi.lr_hash_mask)
+            bd, appends, bitpacks = packed_mod.prepare_for_transfer(bd, mi)
             staged.append(bd)
             if len(staged) >= 8:
                 break
-        lay0 = packed_mod.layout_of(staged[0], appends)
+        lay0 = packed_mod.layout_of(staged[0], appends, bitpacks)
         probe_buf = packed_mod.pack(lay0, staged)
     except Exception as e:  # noqa: BLE001
         print(f"# transfer-probe setup failed: {e}", file=sys.stderr)

@@ -153,6 +153,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(amortizes per-RPC link latency; trajectory "
                         "identical to K separate steps). 0 = auto "
                         "(8 on the native single-device path), 1 = off")
+    g.add_argument("--fwt_bitpack", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="Bit-pack the lr id column of the packed transfer "
+                        "to its actual width (hash bits + packed combo "
+                        "bits; 27 vs 32 on the b=25 benchmark schema — "
+                        "~16%% of the dominant uplink column on a "
+                        "bandwidth-bound link). Undone device-side with "
+                        "static shifts fused into the step; trajectory "
+                        "identical. auto = on")
     g.add_argument("--fwt_fetch_stack", type=int, default=0, metavar="M",
                    help="EXPERIMENTAL: write each packed step's predictions "
                         "into a device-resident [M, K, B] ring inside the "

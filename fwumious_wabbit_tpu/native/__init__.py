@@ -104,6 +104,10 @@ def _configure(lib):
     lib.fwn_murmur3.argtypes = [ctypes.c_char_p, i64, u32]
     lib.fwn_format_preds.restype = i64
     lib.fwn_format_preds.argtypes = [P(f32), i64, ctypes.c_char_p]
+    lib.fwn_bitpack_ids.restype = ctypes.c_int
+    lib.fwn_bitpack_ids.argtypes = [P(i32), i64, ctypes.c_int32,
+                                    ctypes.c_int32, ctypes.c_int32,
+                                    P(ctypes.c_uint32)]
 
 
 def _configure_ffi(lib):
@@ -221,6 +225,23 @@ def format_preds(preds: np.ndarray) -> bytes | None:
         preds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), preds.size, buf
     )
     return ctypes.string_at(buf, n)
+
+
+def bitpack_ids(a: np.ndarray, bits: int, words: int):
+    """Bit-pack a non-negative [B, W] i32 id column to `bits` per entry
+    ([B, words] u32). Returns the packed array, False when a value
+    overflows `bits` (ship unpacked), or None if no native lib."""
+    lib = load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, np.int32)
+    out = np.empty((a.shape[0], words), np.uint32)
+    ok = lib.fwn_bitpack_ids(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        a.shape[0], a.shape[1], bits, words,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out if ok else False
 
 
 def _iptr(a):

@@ -486,6 +486,34 @@ void fwn_batch_counts(const int32_t* ids, const int8_t* mark,
   }
 }
 
+// bit-pack a [B, W] non-negative i32 id column to `bits` per entry
+// ([B, ceil(W*bits/32)] u32 words, row-major bit-writer — the numpy
+// column-sliced version measured 4.9 ms/batch of strided access; this is
+// sequential). Returns 1, or 0 when any value overflows `bits` (including
+// negatives viewed as u32) — the caller ships the column unpacked then.
+int fwn_bitpack_ids(const int32_t* ids, int64_t B, int32_t W, int32_t bits,
+                    int32_t words, uint32_t* out) {
+  const uint32_t* src = reinterpret_cast<const uint32_t*>(ids);
+  for (int64_t b = 0; b < B; b++) {
+    const uint32_t* row = src + b * W;
+    uint32_t* dst = out + b * words;
+    uint64_t accum = 0;
+    int nbits = 0, w = 0;
+    for (int32_t j = 0; j < W; j++) {
+      if (row[j] >> bits) return 0;
+      accum |= uint64_t(row[j]) << nbits;
+      nbits += bits;
+      if (nbits >= 32) {
+        dst[w++] = uint32_t(accum);
+        accum >>= 32;
+        nbits -= 32;
+      }
+    }
+    if (nbits > 0) dst[w] = uint32_t(accum);
+  }
+  return 1;
+}
+
 // memchr-based byte count (the Python-side bytes.count measured ~12% of
 // predict-mode CPU sizing the output buffer)
 int64_t fwn_count_byte(const char* buf, int64_t len, int b) {

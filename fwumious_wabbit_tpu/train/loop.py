@@ -675,6 +675,8 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         q: queue.Queue = queue.Queue(maxsize=3)
         q2: queue.Queue = queue.Queue(maxsize=3)
 
+        bitpack_on = (getattr(args, "fwt_bitpack", "auto") or "auto") != "off"
+
         def producer():
             try:
                 group: list = []
@@ -704,11 +706,13 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     slim = bd
                     if (can_pack and n == batch_size
                             and (holdout_after is None or seen < cut_at)):
-                        # constant-feature column elision: pure transfer
-                        # savings, re-synthesized device-side (packed.py)
-                        slim, appends = packed_mod.strip_constant_columns(
-                            bd, mi.lr_hash_mask)
-                        lay = packed_mod.layout_of(slim, appends)
+                        # constant-feature column elision + id bit-packing:
+                        # pure transfer savings, undone device-side
+                        # (packed.py unpack_row)
+                        slim, appends, bitpacks = (
+                            packed_mod.prepare_for_transfer(
+                                bd, mi, bitpack=bitpack_on))
+                        lay = packed_mod.layout_of(slim, appends, bitpacks)
                     if lay is not None and (
                             glay is None or lay.signature == glay.signature):
                         group.append((bd, slim))

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 # dtype → words-per-element numerator/denominator (all sizes divide 4)
 _DTYPES = {
     np.dtype(np.int32): jnp.int32,
+    np.dtype(np.uint32): jnp.uint32,
     np.dtype(np.float32): jnp.float32,
     np.dtype(np.uint8): jnp.uint8,
     np.dtype(np.int8): jnp.int8,
@@ -56,19 +57,29 @@ class PackedLayout:
     feature is the canonical case: on a fixed-width schema its id (and its
     multiplicity code) are identical in every example of a full batch, so
     shipping the column is 5 B/example of pure redundancy (~8% of the
-    Eat-Rate payload on a link that is the measured bottleneck)."""
+    Eat-Rate payload on a link that is the measured bottleneck).
+
+    ``bitpacks``: id columns shipped bit-packed — tuple of (key, bits, W):
+    the batch dict carries ``[B, ceil(W·bits/32)]`` u32 words and
+    :func:`unpack_row` restores ``[B, W]`` i32 with static shifts/masks
+    (fused into the consuming step by XLA). Hash ids only occupy
+    ``bit_precision`` (+ packed-combo) bits — 27 on the b=25 benchmark
+    schema — so shipping i32 wastes ~16% of the dominant uplink column on
+    a link that is the measured end-to-end bottleneck."""
 
     fields: tuple  # tuple[_Field]
     words: int
     appends: tuple = ()
+    bitpacks: tuple = ()
 
     @property
     def signature(self):
         return (tuple((f.key, f.dtype, f.shape) for f in self.fields),
-                self.appends)
+                self.appends, self.bitpacks)
 
 
-def layout_of(bd: dict, appends: tuple = ()) -> PackedLayout | None:
+def layout_of(bd: dict, appends: tuple = (),
+              bitpacks: tuple = ()) -> PackedLayout | None:
     """Build the layout for a batch dict, or None if it cannot pack
     (unknown dtype or a byte count not divisible by 4)."""
     fields = []
@@ -83,7 +94,7 @@ def layout_of(bd: dict, appends: tuple = ()) -> PackedLayout | None:
         wl = nbytes // 4
         fields.append(_Field(key, a.dtype.str, tuple(a.shape), off, wl))
         off += wl
-    return PackedLayout(tuple(fields), off, tuple(appends))
+    return PackedLayout(tuple(fields), off, tuple(appends), tuple(bitpacks))
 
 
 CONSTANT_HASH = 11650396  # the VW constant feature (ingest/translator.py)
@@ -120,6 +131,57 @@ def strip_constant_columns(bd: dict, lr_hash_mask: int):
     return out, tuple(appends)
 
 
+def bitpack_ids(bd: dict, key: str, bits: int):
+    """Bit-pack the non-negative id column ``bd[key]`` ([B, W] i32) into
+    ``[B, ceil(W·bits/32)]`` u32 words. Returns (bd, bitpacks) — unchanged
+    when packing would not shrink the column, ``bits`` exceeds 31, or any
+    id overflows ``bits`` (checked; overflow ships unpacked instead of
+    corrupting). Padding entries are 0 and round-trip as 0."""
+    a = bd.get(key)
+    if a is None or a.ndim != 2 or a.dtype != np.int32 or bits > 31:
+        return bd, ()
+    W = a.shape[1]
+    words = (W * bits + 31) // 32
+    if words >= W or W == 0 or a.size == 0:
+        return bd, ()
+    from .. import native as fw_native
+
+    out = fw_native.bitpack_ids(a, bits, words)  # C row-major bit-writer
+    if out is False:  # a value overflows `bits`: ship the column unpacked
+        return bd, ()
+    if out is None:  # no native lib: numpy fallback (strided, ~5 ms/batch)
+        if int(a.max()) >= (1 << bits) or int(a.min()) < 0:
+            return bd, ()
+        v = a.view(np.uint32)  # same buffer — values proven non-negative
+        out = np.zeros((a.shape[0], words), np.uint32)
+        for j in range(W):
+            o = j * bits
+            w0, s = o // 32, o % 32
+            out[:, w0] |= v[:, j] << np.uint32(s)  # u32 shift truncates
+            if s + bits > 32:
+                out[:, w0 + 1] |= v[:, j] >> np.uint32(32 - s)
+    nb = dict(bd)
+    nb[key] = out
+    return nb, ((key, bits, W),)
+
+
+def prepare_for_transfer(bd: dict, mi, bitpack: bool = True):
+    """Production transfer slimming for one full batch: constant-feature
+    column elision + lr id bit-packing. Returns (slim, appends, bitpacks) —
+    the layout_of inputs. Used by the train loop's producer and by
+    bench.py's transfer probes so measurements ship the production payload."""
+    slim, appends = strip_constant_columns(bd, mi.lr_hash_mask)
+    bitpacks = ()
+    if bitpack:
+        shift_bits = (mi.num_combos + 1).bit_length()
+        if mi.bit_precision + shift_bits <= 31:
+            id_bits = mi.bit_precision + shift_bits
+        else:
+            id_bits = mi.bit_precision
+        slim, bitpacks = bitpack_ids(slim, "lr_ids", id_bits)
+    return slim, appends, bitpacks
+
+
 def pack(layout: PackedLayout, bds: list) -> np.ndarray:
     """K batch dicts → [K, words] u32 (one flat memcpy per array)."""
     buf = np.empty((len(bds), layout.words), np.uint32)
@@ -146,6 +208,19 @@ def unpack_row(row: jnp.ndarray, layout: PackedLayout) -> dict:
             # u32 [n] → [n, 4/itemsize] of the narrow type → flat
             arr = jax.lax.bitcast_convert_type(seg, jdt).reshape(-1)
         bd[f.key] = arr.reshape(f.shape)
+    for key, bits, W in layout.bitpacks:
+        # static shifts/masks per column — XLA fuses these into the step
+        a = bd[key]  # [B, words] u32
+        mask = jnp.uint32((1 << bits) - 1)
+        cols = []
+        for j in range(W):
+            o = j * bits
+            w0, s = o // 32, o % 32
+            v = jax.lax.shift_right_logical(a[:, w0], jnp.uint32(s))
+            if s + bits > 32:
+                v = v | jax.lax.shift_left(a[:, w0 + 1], jnp.uint32(32 - s))
+            cols.append((v & mask).astype(jnp.int32))
+        bd[key] = jnp.stack(cols, axis=1)
     for key, value in layout.appends:
         a = bd[key]
         col = jnp.full((a.shape[0], 1), value, a.dtype)

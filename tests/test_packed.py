@@ -159,3 +159,42 @@ def test_fetch_stack_with_predictions_after(tmp_path):
     run_cli(base + ["-p", str(p2), "--fwt_fetch_stack", "4"])
     assert p1.read_text() == p2.read_text()
     assert len(p1.read_text().splitlines()) == 4000 - 1500
+
+
+def test_bitpack_roundtrip_unit():
+    """bitpack_ids → pack → unpack_row restores the exact id column for
+    widths that straddle word boundaries, including 0-padding entries."""
+    import jax
+    import numpy as np
+    from fwumious_wabbit_tpu.train import packed as packed_mod
+
+    rng = np.random.default_rng(0)
+    for bits, W, B in [(27, 13, 64), (22, 4, 32), (25, 5, 16), (31, 33, 8)]:
+        ids = rng.integers(0, 1 << bits, (B, W)).astype(np.int32)
+        ids[rng.random((B, W)) < 0.2] = 0  # padding entries
+        bd = {"lr_ids": ids.copy(),
+              "label": rng.integers(0, 2, B).astype(np.uint8)}
+        nb, bitpacks = packed_mod.bitpack_ids(bd, "lr_ids", bits)
+        assert bitpacks == (("lr_ids", bits, W),)
+        assert nb["lr_ids"].shape[1] < W  # it actually shrank
+        lay = packed_mod.layout_of(nb, (), bitpacks)
+        buf = packed_mod.pack(lay, [nb])
+        out = jax.jit(lambda r: packed_mod.unpack_row(r, lay))(buf[0])
+        assert np.array_equal(np.asarray(out["lr_ids"]), ids), (bits, W)
+        assert np.array_equal(np.asarray(out["label"]), bd["label"])
+
+
+def test_bitpack_guards():
+    """Overflowing ids, non-shrinking widths, and negative values ship
+    unpacked instead of corrupting."""
+    import numpy as np
+    from fwumious_wabbit_tpu.train import packed as packed_mod
+
+    ids = np.full((4, 3), 1 << 20, np.int32)
+    _, bp = packed_mod.bitpack_ids({"lr_ids": ids}, "lr_ids", 20)
+    assert bp == ()  # 2^20 needs 21 bits
+    _, bp = packed_mod.bitpack_ids({"lr_ids": -ids}, "lr_ids", 27)
+    assert bp == ()  # negative
+    _, bp = packed_mod.bitpack_ids(
+        {"lr_ids": np.ones((4, 1), np.int32)}, "lr_ids", 27)
+    assert bp == ()  # 1 column cannot shrink
