@@ -179,6 +179,11 @@ def prepare_for_transfer(bd: dict, mi, bitpack: bool = True):
         else:
             id_bits = mi.bit_precision
         slim, bitpacks = bitpack_ids(slim, "lr_ids", id_bits)
+        if getattr(mi, "ffm_k", 0) > 0 and "ffm_ids" in slim:
+            # ffm ids are the raw hash masked to 2^ffm_bit_precision
+            # (native/fw_core.h translate_record; padding entries are 0)
+            slim, bp2 = bitpack_ids(slim, "ffm_ids", mi.ffm_bit_precision)
+            bitpacks = bitpacks + bp2
     return slim, appends, bitpacks
 
 

@@ -198,3 +198,23 @@ def test_bitpack_guards():
     _, bp = packed_mod.bitpack_ids(
         {"lr_ids": np.ones((4, 1), np.int32)}, "lr_ids", 27)
     assert bp == ()  # 1 column cannot shrink
+
+
+def test_bitpack_on_off_identical_with_ffm(tmp_path):
+    """--fwt_bitpack on vs off over an FFM config (both lr and ffm id
+    columns packed): byte-identical predictions and models."""
+    from fwumious_wabbit_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+
+    gen_dataset(tmp_path, n_train=5000, n_eval=10)
+    base = FLAGS + ["--data", str(tmp_path / "train.vw"), "--save_resume",
+                    "--fwt_superbatch", "3"]
+    p1, m1 = tmp_path / "on.preds", tmp_path / "on.model"
+    p2, m2 = tmp_path / "off.preds", tmp_path / "off.model"
+    run_cli(base + ["-p", str(p1), "-f", str(m1), "--fwt_bitpack", "on"])
+    run_cli(base + ["-p", str(p2), "-f", str(m2), "--fwt_bitpack", "off"])
+    assert p1.read_text() == p2.read_text()
+    assert p1.stat().st_size > 0
+    assert m1.read_bytes() == m2.read_bytes()
