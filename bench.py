@@ -247,11 +247,12 @@ def bench_decomposition(rows: int) -> dict:
     # bit-packing), forced to completion
     while len(staged) < K:
         staged.append(staged[-1])
-    slimmed, appends, bitpacks = zip(
+    slimmed, appends, bitpacks, row_bcasts = zip(
         *(packed_mod.prepare_for_transfer(b, mi) for b in staged))
-    if all(a == appends[0] and bp == bitpacks[0]
-           for a, bp in zip(appends, bitpacks)):
-        lay = packed_mod.layout_of(slimmed[0], appends[0], bitpacks[0])
+    if all(a == appends[0] and bp == bitpacks[0] and rb == row_bcasts[0]
+           for a, bp, rb in zip(appends, bitpacks, row_bcasts)):
+        lay = packed_mod.layout_of(slimmed[0], appends[0], bitpacks[0],
+                                   row_bcasts[0])
         buf = packed_mod.pack(lay, list(slimmed))
     else:  # mixed slimming across batches: measure the unslimmed payload
         lay = packed_mod.layout_of(staged[0])
@@ -395,11 +396,12 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         staged = []
         for bd, _k in native_batch_stream(args, mi, vw, 32768,
                                           count_keys={"lr": 0}):
-            bd, appends, bitpacks = packed_mod.prepare_for_transfer(bd, mi)
+            bd, appends, bitpacks, row_bcasts = (
+                packed_mod.prepare_for_transfer(bd, mi))
             staged.append(bd)
             if len(staged) >= 8:
                 break
-        lay0 = packed_mod.layout_of(staged[0], appends, bitpacks)
+        lay0 = packed_mod.layout_of(staged[0], appends, bitpacks, row_bcasts)
         probe_buf = packed_mod.pack(lay0, staged)
     except Exception as e:  # noqa: BLE001
         print(f"# transfer-probe setup failed: {e}", file=sys.stderr)

@@ -709,10 +709,11 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                         # constant-feature column elision + id bit-packing:
                         # pure transfer savings, undone device-side
                         # (packed.py unpack_row)
-                        slim, appends, bitpacks = (
+                        slim, appends, bitpacks, row_bcasts = (
                             packed_mod.prepare_for_transfer(
                                 bd, mi, bitpack=bitpack_on))
-                        lay = packed_mod.layout_of(slim, appends, bitpacks)
+                        lay = packed_mod.layout_of(
+                            slim, appends, bitpacks, row_bcasts)
                     if lay is not None and (
                             glay is None or lay.signature == glay.signature):
                         group.append((bd, slim))

@@ -65,21 +65,28 @@ class PackedLayout:
     (fused into the consuming step by XLA). Hash ids only occupy
     ``bit_precision`` (+ packed-combo) bits — 27 on the b=25 benchmark
     schema — so shipping i32 wastes ~16% of the dominant uplink column on
-    a link that is the measured end-to-end bottleneck."""
+    a link that is the measured end-to-end bottleneck.
+
+    ``row_broadcasts``: columns whose every example row is identical
+    (fixed-width schemas: the FFM field indices and — when not packed into
+    the ids — the combo indices are the same in each example), elided from
+    the transfer and re-broadcast device-side — tuple of
+    (key, dtype_str, row_values, B)."""
 
     fields: tuple  # tuple[_Field]
     words: int
     appends: tuple = ()
     bitpacks: tuple = ()
+    row_broadcasts: tuple = ()
 
     @property
     def signature(self):
         return (tuple((f.key, f.dtype, f.shape) for f in self.fields),
-                self.appends, self.bitpacks)
+                self.appends, self.bitpacks, self.row_broadcasts)
 
 
-def layout_of(bd: dict, appends: tuple = (),
-              bitpacks: tuple = ()) -> PackedLayout | None:
+def layout_of(bd: dict, appends: tuple = (), bitpacks: tuple = (),
+              row_broadcasts: tuple = ()) -> PackedLayout | None:
     """Build the layout for a batch dict, or None if it cannot pack
     (unknown dtype or a byte count not divisible by 4)."""
     fields = []
@@ -94,7 +101,8 @@ def layout_of(bd: dict, appends: tuple = (),
         wl = nbytes // 4
         fields.append(_Field(key, a.dtype.str, tuple(a.shape), off, wl))
         off += wl
-    return PackedLayout(tuple(fields), off, tuple(appends), tuple(bitpacks))
+    return PackedLayout(tuple(fields), off, tuple(appends), tuple(bitpacks),
+                        tuple(row_broadcasts))
 
 
 CONSTANT_HASH = 11650396  # the VW constant feature (ingest/translator.py)
@@ -165,6 +173,23 @@ def bitpack_ids(bd: dict, key: str, bits: int):
     return nb, ((key, bits, W),)
 
 
+def strip_uniform_rows(bd: dict, key: str):
+    """If every example row of ``bd[key]`` is identical (fixed-width
+    schemas: FFM field indices, unpacked combo indices), drop the column
+    from the transfer and return the row-broadcast spec for
+    :func:`unpack_row` to re-synthesize it."""
+    a = bd.get(key)
+    if a is None or not isinstance(a, np.ndarray) or a.ndim != 2 \
+            or a.shape[0] == 0 or a.shape[1] == 0:
+        return bd, ()
+    if not (a == a[0]).all():
+        return bd, ()
+    nb = dict(bd)
+    del nb[key]
+    return nb, ((key, a.dtype.str, tuple(int(x) for x in a[0]),
+                 int(a.shape[0])),)
+
+
 def prepare_for_transfer(bd: dict, mi, bitpack: bool = True):
     """Production transfer slimming for one full batch: constant-feature
     column elision + lr id bit-packing. Returns (slim, appends, bitpacks) —
@@ -184,7 +209,11 @@ def prepare_for_transfer(bd: dict, mi, bitpack: bool = True):
             # (native/fw_core.h translate_record; padding entries are 0)
             slim, bp2 = bitpack_ids(slim, "ffm_ids", mi.ffm_bit_precision)
             bitpacks = bitpacks + bp2
-    return slim, appends, bitpacks
+    row_broadcasts = ()
+    for key in ("ffm_fields", "lr_combos"):
+        slim, rb = strip_uniform_rows(slim, key)
+        row_broadcasts = row_broadcasts + rb
+    return slim, appends, bitpacks, row_broadcasts
 
 
 def pack(layout: PackedLayout, bds: list) -> np.ndarray:
@@ -226,6 +255,9 @@ def unpack_row(row: jnp.ndarray, layout: PackedLayout) -> dict:
                 v = v | jax.lax.shift_left(a[:, w0 + 1], jnp.uint32(32 - s))
             cols.append((v & mask).astype(jnp.int32))
         bd[key] = jnp.stack(cols, axis=1)
+    for key, dtstr, row_vals, B in layout.row_broadcasts:
+        row = jnp.asarray(np.array(row_vals, np.dtype(dtstr)))
+        bd[key] = jnp.broadcast_to(row, (B, len(row_vals)))
     for key, value in layout.appends:
         a = bd[key]
         col = jnp.full((a.shape[0], 1), value, a.dtype)

@@ -52,14 +52,14 @@ def main() -> None:
         mi = ModelInstance.from_cmdline(a, vw)
         model = FwModel(mi, precision="default")
         staged = []
-        appends = ()
+        spec = ((), (), ())
         for bd, _k in native_batch_stream(a, mi, vw, 32768,
                                           count_keys={"lr": 0}):
-            bd, appends = packed_mod.strip_constant_columns(bd, mi.lr_hash_mask)
+            bd, *spec = packed_mod.prepare_for_transfer(bd, mi)
             staged.append(bd)
             if len(staged) >= K:
                 break
-        lay = packed_mod.layout_of(staged[0], appends)
+        lay = packed_mod.layout_of(staged[0], *spec)
         buf = jax.device_put(packed_mod.pack(lay, staged))
         step = packed_mod.make_packed_train_step(model, lay, K)
         params = model.init_params()

@@ -218,3 +218,31 @@ def test_bitpack_on_off_identical_with_ffm(tmp_path):
     assert p1.read_text() == p2.read_text()
     assert p1.stat().st_size > 0
     assert m1.read_bytes() == m2.read_bytes()
+
+
+def test_strip_uniform_rows_roundtrip():
+    """Row-identical columns (fixed-width schema field/combo indices) are
+    elided and re-broadcast device-side; non-uniform columns ship as-is."""
+    import jax
+    import numpy as np
+    from fwumious_wabbit_tpu.train import packed as packed_mod
+
+    rng = np.random.default_rng(3)
+    B = 32
+    fields = np.tile(np.array([0, 0, 1, 1, -1], np.int8), (B, 1))
+    bd = {"ffm_fields": fields.copy(),
+          "ffm_ids": rng.integers(0, 1 << 20, (B, 5)).astype(np.int32)}
+    nb, rb = packed_mod.strip_uniform_rows(bd, "ffm_fields")
+    assert "ffm_fields" not in nb
+    assert rb == (("ffm_fields", "|i1", (0, 0, 1, 1, -1), B),)
+    lay = packed_mod.layout_of(nb, (), (), rb)
+    buf = packed_mod.pack(lay, [nb])
+    out = jax.jit(lambda r: packed_mod.unpack_row(r, lay))(buf[0])
+    assert np.array_equal(np.asarray(out["ffm_fields"]), fields)
+    assert np.array_equal(np.asarray(out["ffm_ids"]), bd["ffm_ids"])
+
+    # non-uniform: ships unchanged
+    fields[3, 1] = 2
+    bd2 = {"ffm_fields": fields}
+    nb2, rb2 = packed_mod.strip_uniform_rows(bd2, "ffm_fields")
+    assert rb2 == () and "ffm_fields" in nb2
