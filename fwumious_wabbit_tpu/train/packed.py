@@ -190,16 +190,65 @@ def strip_uniform_rows(bd: dict, key: str):
                  int(a.shape[0])),)
 
 
+def unpack_uniform_combos(slim: dict, appends: tuple, mi):
+    """When the host packed ``combo+1`` into the id bits above
+    ``bit_precision`` (train/loop.py slim()) and every example's combo row
+    is identical — true for any fixed-width schema — move the combos out of
+    the ids into a zero-byte row-broadcast so the ids bit-pack at
+    ``bit_precision`` instead of ``bit_precision + combo`` bits (13×25 vs
+    13×29 bits on the b=25 Eat-Rate schema: 44 vs 48 B/example on the
+    measured-bottleneck uplink). Only engages when it saves whole u32
+    words. Returns (slim, appends, row_broadcasts)."""
+    shift_bits = (mi.num_combos + 1).bit_length()
+    if mi.bit_precision + shift_bits > 31 or "lr_combos" in slim:
+        return slim, appends, ()  # ids are not combo-packed
+    ids = slim.get("lr_ids")
+    if ids is None or ids.ndim != 2 or ids.shape[1] == 0 \
+            or ids.dtype != np.int32 or ids.shape[0] == 0:
+        return slim, appends, ()
+    W = ids.shape[1]
+    packed_bits = mi.bit_precision + shift_bits
+    if (W * mi.bit_precision + 31) // 32 >= (W * packed_bits + 31) // 32:
+        return slim, appends, ()  # no whole-word saving at this width
+    high = ids >> np.int32(mi.bit_precision)  # combo+1 (0 at padding)
+    row0 = high[0]
+    if not (high == row0).all():
+        return slim, appends, ()  # variable combo layout: keep packed
+    combo_row = row0.astype(np.int32) - 1  # padding → −1 (zero one-hot)
+    new_appends = []
+    for key, v in appends:
+        if key == "lr_ids":
+            # the elided constant column's combo joins the broadcast row;
+            # its re-appended id sheds the combo bits like the rest
+            combo_row = np.append(combo_row,
+                                  np.int32((v >> mi.bit_precision) - 1))
+            v = int(v & mi.lr_hash_mask)
+        new_appends.append((key, v))
+    out = dict(slim)
+    out["lr_ids"] = ids & np.int32(mi.lr_hash_mask)
+    rb = (("lr_combos", np.dtype(np.int32).str,
+           tuple(int(x) for x in combo_row), int(ids.shape[0])),)
+    return out, tuple(new_appends), rb
+
+
 def prepare_for_transfer(bd: dict, mi, bitpack: bool = True):
     """Production transfer slimming for one full batch: constant-feature
-    column elision + lr id bit-packing. Returns (slim, appends, bitpacks) —
-    the layout_of inputs. Used by the train loop's producer and by
-    bench.py's transfer probes so measurements ship the production payload."""
+    column elision, combo un-packing to a row broadcast, lr/ffm id
+    bit-packing, and uniform-row elision (field indices, combo indices,
+    multiplicity counts). Returns (slim, appends, bitpacks,
+    row_broadcasts) — the layout_of inputs. Used by the train loop's
+    producer and by bench.py's transfer probes so measurements ship the
+    production payload."""
     slim, appends = strip_constant_columns(bd, mi.lr_hash_mask)
     bitpacks = ()
+    row_broadcasts = ()
     if bitpack:
+        slim, appends, rb0 = unpack_uniform_combos(slim, appends, mi)
+        row_broadcasts += rb0
         shift_bits = (mi.num_combos + 1).bit_length()
-        if mi.bit_precision + shift_bits <= 31:
+        if "lr_combos" not in slim and "lr_combos" not in (
+                r[0] for r in row_broadcasts) \
+                and mi.bit_precision + shift_bits <= 31:
             id_bits = mi.bit_precision + shift_bits
         else:
             id_bits = mi.bit_precision
@@ -209,8 +258,7 @@ def prepare_for_transfer(bd: dict, mi, bitpack: bool = True):
             # (native/fw_core.h translate_record; padding entries are 0)
             slim, bp2 = bitpack_ids(slim, "ffm_ids", mi.ffm_bit_precision)
             bitpacks = bitpacks + bp2
-    row_broadcasts = ()
-    for key in ("ffm_fields", "lr_combos"):
+    for key in ("ffm_fields", "lr_combos", "lr_counts", "ffm_counts"):
         slim, rb = strip_uniform_rows(slim, key)
         row_broadcasts = row_broadcasts + rb
     return slim, appends, bitpacks, row_broadcasts

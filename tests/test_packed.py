@@ -246,3 +246,67 @@ def test_strip_uniform_rows_roundtrip():
     bd2 = {"ffm_fields": fields}
     nb2, rb2 = packed_mod.strip_uniform_rows(bd2, "ffm_fields")
     assert rb2 == () and "ffm_fields" in nb2
+
+def test_unpack_uniform_combos_roundtrip():
+    """Fixed-width schemas: combo bits leave the ids for a zero-byte row
+    broadcast (ids bit-pack at bit_precision, not bit_precision+combo), the
+    multiplicity-count column elides as a uniform row, and unpack_row
+    restores everything exactly — including the constant feature's combo
+    joining the broadcast row and its re-appended id shedding combo bits."""
+    import jax
+    import numpy as np
+    from fwumious_wabbit_tpu.train import packed as packed_mod
+
+    class MI:
+        bit_precision = 25
+        lr_hash_mask = (1 << 25) - 1
+        num_combos = 13
+        ffm_k = 0
+
+    B, W = 64, 14
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 1 << 25, (B, W)).astype(np.int32)
+    combos = np.broadcast_to(np.arange(W, dtype=np.int32), (B, W))
+    ids = (raw | ((combos + 1) << 25)).astype(np.int32)
+    const_id = (packed_mod.CONSTANT_HASH & MI.lr_hash_mask) | (W << 25)
+    ids[:, -1] = const_id
+    counts = np.full((B, W), 120, np.uint8)
+    bd = {"label": rng.integers(0, 2, B).astype(np.uint8),
+          "lr_ids": ids, "lr_counts": counts}
+    slim, ap, bp, rb = packed_mod.prepare_for_transfer(bd, MI)
+    assert bp == (("lr_ids", 25, W - 1),)  # constant elided, 25-bit pack
+    assert dict((r[0], r) for r in rb).keys() == {"lr_combos", "lr_counts"}
+    assert ap == (("lr_ids", packed_mod.CONSTANT_HASH & MI.lr_hash_mask),
+                  ("lr_counts", 120))
+    payload = sum(v.nbytes for v in slim.values()) / B
+    assert payload == 45.0  # 11 u32 id words + 1 label byte
+
+    lay = packed_mod.layout_of(slim, ap, bp, rb)
+    out = jax.jit(lambda r: packed_mod.unpack_row(r, lay))(
+        packed_mod.pack(lay, [slim])[0])
+    np.testing.assert_array_equal(np.asarray(out["lr_ids"]),
+                                  ids & MI.lr_hash_mask)
+    np.testing.assert_array_equal(np.asarray(out["lr_combos"]), combos)
+    np.testing.assert_array_equal(np.asarray(out["lr_counts"]), counts)
+    np.testing.assert_array_equal(np.asarray(out["label"]), bd["label"])
+
+    # one example with a different combo layout: ids stay combo-packed
+    ids2 = ids.copy()
+    ids2[3, 0] = (ids2[3, 0] & MI.lr_hash_mask) | (6 << 25)
+    slim2, ap2, bp2, rb2 = packed_mod.prepare_for_transfer(
+        {"label": bd["label"], "lr_ids": ids2, "lr_counts": counts}, MI)
+    assert bp2 == (("lr_ids", 29, W - 1),)
+    assert "lr_combos" not in dict((r[0], r) for r in rb2)
+    lay2 = packed_mod.layout_of(slim2, ap2, bp2, rb2)
+    out2 = jax.jit(lambda r: packed_mod.unpack_row(r, lay2))(
+        packed_mod.pack(lay2, [slim2])[0])
+    assert "lr_combos" not in out2
+    np.testing.assert_array_equal(np.asarray(out2["lr_ids"]), ids2)
+
+    # non-uniform counts ship unchanged
+    counts3 = counts.copy()
+    counts3[5, 2] = 64
+    slim3, _ap3, _bp3, rb3 = packed_mod.prepare_for_transfer(
+        {"label": bd["label"], "lr_ids": ids, "lr_counts": counts3}, MI)
+    assert "lr_counts" in slim3
+    assert "lr_counts" not in dict((r[0], r) for r in rb3)
