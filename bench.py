@@ -247,12 +247,16 @@ def bench_decomposition(rows: int) -> dict:
     # bit-packing), forced to completion
     while len(staged) < K:
         staged.append(staged[-1])
-    slimmed, appends, bitpacks, row_bcasts = zip(
-        *(packed_mod.prepare_for_transfer(b, mi) for b in staged))
+    vstate = packed_mod.VocabTransferState()
+    slimmed, appends, bitpacks, row_bcasts, vocabs = zip(
+        *(packed_mod.prepare_for_transfer(b, mi, vocab_state=vstate)
+          for b in staged))
+    vstate.close()
     if all(a == appends[0] and bp == bitpacks[0] and rb == row_bcasts[0]
-           for a, bp, rb in zip(appends, bitpacks, row_bcasts)):
+           and vc == vocabs[0]
+           for a, bp, rb, vc in zip(appends, bitpacks, row_bcasts, vocabs)):
         lay = packed_mod.layout_of(slimmed[0], appends[0], bitpacks[0],
-                                   row_bcasts[0])
+                                   row_bcasts[0], vocabs[0])
         buf = packed_mod.pack(lay, list(slimmed))
     else:  # mixed slimming across batches: measure the unslimmed payload
         lay = packed_mod.layout_of(staged[0])
@@ -394,14 +398,17 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     probe_buf = None
     try:
         staged = []
+        vstate = packed_mod.VocabTransferState()
         for bd, _k in native_batch_stream(args, mi, vw, 32768,
                                           count_keys={"lr": 0}):
-            bd, appends, bitpacks, row_bcasts = (
-                packed_mod.prepare_for_transfer(bd, mi))
+            bd, appends, bitpacks, row_bcasts, vocabs = (
+                packed_mod.prepare_for_transfer(bd, mi, vocab_state=vstate))
             staged.append(bd)
             if len(staged) >= 8:
                 break
-        lay0 = packed_mod.layout_of(staged[0], appends, bitpacks, row_bcasts)
+        vstate.close()
+        lay0 = packed_mod.layout_of(staged[0], appends, bitpacks, row_bcasts,
+                                    vocabs)
         probe_buf = packed_mod.pack(lay0, staged)
     except Exception as e:  # noqa: BLE001
         print(f"# transfer-probe setup failed: {e}", file=sys.stderr)

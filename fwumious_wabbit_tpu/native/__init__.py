@@ -108,6 +108,26 @@ def _configure(lib):
     lib.fwn_bitpack_ids.argtypes = [P(i32), i64, ctypes.c_int32,
                                     ctypes.c_int32, ctypes.c_int32,
                                     P(ctypes.c_uint32)]
+    lib.fwn_bitpack_mixed.restype = ctypes.c_int
+    lib.fwn_bitpack_mixed.argtypes = [P(i32), i64, ctypes.c_int32,
+                                      P(i32), ctypes.c_int32,
+                                      P(ctypes.c_uint32)]
+    lib.fwn_vocab_create.restype = ctypes.c_void_p
+    lib.fwn_vocab_create.argtypes = [ctypes.c_int32, ctypes.c_int32]
+    lib.fwn_vocab_destroy.argtypes = [ctypes.c_void_p]
+    lib.fwn_vocab_encode.restype = ctypes.c_int
+    lib.fwn_vocab_encode.argtypes = [ctypes.c_void_p, P(i32), i64,
+                                     ctypes.c_int32, P(i32), P(i32)]
+    lib.fwn_vocab_encode2.restype = ctypes.c_int
+    lib.fwn_vocab_encode2.argtypes = [ctypes.c_void_p, P(i32), i64,
+                                      ctypes.c_int32, i64, ctypes.c_int32,
+                                      ctypes.c_uint32, P(i32), P(i32),
+                                      P(i32)]
+    lib.fwn_vocab_export.restype = i64
+    lib.fwn_vocab_export.argtypes = [ctypes.c_void_p, ctypes.c_int32, P(i32)]
+    lib.fwn_vocab_dirty.restype = ctypes.c_int
+    lib.fwn_vocab_dirty.argtypes = [ctypes.c_void_p]
+    lib.fwn_vocab_clear_dirty.argtypes = [ctypes.c_void_p]
 
 
 def _configure_ffi(lib):
@@ -242,6 +262,109 @@ def bitpack_ids(a: np.ndarray, bits: int, words: int):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return out if ok else False
+
+
+def bitpack_mixed(a: np.ndarray, bits, words: int):
+    """Bit-pack a non-negative [B, W] i32 block with a per-column bit
+    width (`bits`, len W) into [B, words] u32. Returns the packed array,
+    False on value overflow, or None if no native lib."""
+    lib = load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, np.int32)
+    bits = np.ascontiguousarray(bits, np.int32)
+    out = np.empty((a.shape[0], words), np.uint32)
+    ok = lib.fwn_bitpack_mixed(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        a.shape[0], a.shape[1],
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), words,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out if ok else False
+
+
+class VocabEncoder:
+    """Persistent per-column id→index dictionaries for the vocab-encoded
+    packed transfer (train/packed.py encode_vocab_ids).
+
+    ``encode(ids)`` maps each column of a [B, W] i32 id block to dense
+    first-seen indices (row-major assignment order — deterministic per
+    stream); a column whose dictionary would exceed ``max_cap`` flips to
+    direct permanently and passes raw ids through. ``sizes[j]`` is the
+    dictionary size after the call, −1 once direct."""
+
+    def __init__(self, n_cols: int, max_cap: int = 1 << 16):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._ptr = lib.fwn_vocab_create(n_cols, max_cap)
+        self.n_cols = n_cols
+        self.max_cap = max_cap
+
+    def encode(self, ids: np.ndarray):
+        ids = np.ascontiguousarray(ids, np.int32)
+        B, W = ids.shape
+        out = np.empty((B, W), np.int32)
+        sizes = np.empty(W, np.int32)
+        p = ctypes.POINTER(ctypes.c_int32)
+        ok = self._lib.fwn_vocab_encode(
+            self._ptr, ids.ctypes.data_as(p), B, W,
+            out.ctypes.data_as(p), sizes.ctypes.data_as(p))
+        if not ok:
+            raise ValueError("fwn_vocab_encode: bad arguments")
+        return out, sizes
+
+    def encode2(self, raw: np.ndarray, shift: int, mask: int):
+        """Fused single-sweep encode: ``raw`` may carry combo+1 in the
+        bits at/above ``shift`` (0 = pure ids). Returns
+        (idx, sizes, combo_row) — combo_row only meaningful when
+        shift > 0 — or None when the combo layout is not row-uniform.
+        A column-sliced view (e.g. the constant-strip's ``ids[:, :-1]``)
+        passes zero-copy via the row stride."""
+        if raw.dtype != np.int32 or raw.ndim != 2:
+            raw = np.ascontiguousarray(raw, np.int32)
+        B, W = raw.shape
+        if raw.strides[1] == 4 and raw.strides[0] % 4 == 0 \
+                and raw.strides[0] >= 4 * W:
+            stride = raw.strides[0] // 4
+        else:
+            raw = np.ascontiguousarray(raw)
+            stride = W
+        out = np.empty((B, W), np.int32)
+        sizes = np.empty(W, np.int32)
+        combo_row = np.empty(W, np.int32)
+        p = ctypes.POINTER(ctypes.c_int32)
+        ok = self._lib.fwn_vocab_encode2(
+            self._ptr, raw.ctypes.data_as(p), B, W, stride, shift,
+            ctypes.c_uint32(mask), out.ctypes.data_as(p),
+            sizes.ctypes.data_as(p), combo_row.ctypes.data_as(p))
+        return (out, sizes, combo_row) if ok else None
+
+    def export_col(self, col: int, cap: int) -> np.ndarray:
+        out = np.zeros(cap, np.int32)
+        n = self._lib.fwn_vocab_export(
+            self._ptr, col,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out[:n]
+
+    @property
+    def dirty(self) -> bool:
+        return bool(self._lib.fwn_vocab_dirty(self._ptr))
+
+    def clear_dirty(self) -> None:
+        self._lib.fwn_vocab_clear_dirty(self._ptr)
+
+    def close(self):
+        if self._ptr:
+            self._lib.fwn_vocab_destroy(self._ptr)
+            self._ptr = None
+
+    def __del__(self):  # best-effort; close() is the real path
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def _iptr(a):

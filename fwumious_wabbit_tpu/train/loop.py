@@ -676,6 +676,14 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         q2: queue.Queue = queue.Queue(maxsize=3)
 
         bitpack_on = (getattr(args, "fwt_bitpack", "auto") or "auto") != "off"
+        # vocabulary-encoded transfer (packed.py encode_vocab_ids): the
+        # producer owns the persistent per-column dictionaries; a full
+        # device snapshot rides the queue ahead of any group that grew them
+        vocab_state = (
+            packed_mod.VocabTransferState()
+            if bitpack_on
+            and (getattr(args, "fwt_vocab", "auto") or "auto") != "off"
+            else None)
 
         def producer():
             try:
@@ -688,6 +696,12 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     if not group:
                         return
                     if len(group) == K:
+                        if glay.vocabs and vocab_state.venc is not None \
+                                and vocab_state.venc.dirty:
+                            snap = packed_mod.export_vocab(
+                                vocab_state.venc, glay.vocabs[0])
+                            vocab_state.venc.clear_dirty()
+                            q.put(("v", snap))
                         q.put(("p",
                                packed_mod.pack(glay, [g[1] for g in group]),
                                glay, K * batch_size))
@@ -706,14 +720,15 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     slim = bd
                     if (can_pack and n == batch_size
                             and (holdout_after is None or seen < cut_at)):
-                        # constant-feature column elision + id bit-packing:
-                        # pure transfer savings, undone device-side
-                        # (packed.py unpack_row)
-                        slim, appends, bitpacks, row_bcasts = (
+                        # constant-feature column elision + id bit-packing
+                        # + vocab indexing: pure transfer savings, undone
+                        # device-side (packed.py unpack_row)
+                        slim, appends, bitpacks, row_bcasts, vocabs = (
                             packed_mod.prepare_for_transfer(
-                                bd, mi, bitpack=bitpack_on))
+                                bd, mi, bitpack=bitpack_on,
+                                vocab_state=vocab_state))
                         lay = packed_mod.layout_of(
-                            slim, appends, bitpacks, row_bcasts)
+                            slim, appends, bitpacks, row_bcasts, vocabs)
                     if lay is not None and (
                             glay is None or lay.signature == glay.signature):
                         group.append((bd, slim))
@@ -742,6 +757,8 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     if item[0] == "p":
                         _, buf, lay, gn = item
                         q2.put(("p", jax.device_put(buf), lay, gn))
+                    elif item[0] == "v":
+                        q2.put(("v", jax.device_put(item[1])))
                     else:
                         _, bd, n = item
                         bd = shard_batch_fn(bd) if shard_batch_fn is not None \
@@ -779,16 +796,22 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
             _wq.put((_ring, list(_ring_metas)))
             _ring_metas.clear()
 
+        _vocab = None  # device [n_rows, 128] i32 dictionary snapshot
+
         while True:
             item = q2.get()
             if item is None:
                 break
             if isinstance(item, BaseException):
                 raise item
+            if item[0] == "v":
+                _vocab = item[1]
+                continue
             if item[0] == "p":
                 _, buf, lay, gn = item
                 first_num = example_num + 1
                 example_num += gn
+                vargs = (_vocab,) if lay.vocabs else ()
                 if use_ring:
                     ring_fn = packed_mod.make_packed_train_step_ring(
                         model, lay, K, M)
@@ -796,13 +819,14 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                         _ring = jax.device_put(
                             np.zeros((M, K, batch_size), np.float32))
                     params, _ring = ring_fn(
-                        params, buf, _ring, np.int32(len(_ring_metas)))
+                        params, buf, _ring, np.int32(len(_ring_metas)),
+                        *vargs)
                     _ring_metas.append((first_num, gn))
                     if len(_ring_metas) == M:
                         _flush_ring()
                 else:
                     step_fn = packed_mod.make_packed_train_step(model, lay, K)
-                    params, preds = step_fn(params, buf)  # preds [K, B]
+                    params, preds = step_fn(params, buf, *vargs)  # [K, B]
                     if writer.active:
                         if hasattr(preds, "copy_to_host_async"):
                             preds.copy_to_host_async()
@@ -814,6 +838,8 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 _flush_ring()  # keep the prediction stream in order
                 params = process(params, bd, n, placed=True)
         _flush_ring()
+        if vocab_state is not None:
+            vocab_state.close()
     else:
         pending: list = []
 

@@ -71,22 +71,35 @@ class PackedLayout:
     (fixed-width schemas: the FFM field indices and — when not packed into
     the ids — the combo indices are the same in each example), elided from
     the transfer and re-broadcast device-side — tuple of
-    (key, dtype_str, row_values, B)."""
+    (key, dtype_str, row_values, B).
+
+    ``vocabs``: id columns shipped as per-column dictionary indices —
+    tuple of (key, widths, bases, n_rows): column j ships ``widths[j]``
+    bits (mixed-width row-major bit-pack); on device, a column with
+    ``bases[j] >= 0`` resolves ``id = vocab_flat[bases[j] + index]``
+    against the device-resident [n_rows, 128] i32 vocabulary snapshot
+    (row-gather + lane select — scalar gathers are pathological on TPU),
+    while ``bases[j] == -1`` columns carry raw ids (high-cardinality
+    columns, e.g. LR interaction combos, degrade to direct). See
+    :func:`encode_vocab_ids`."""
 
     fields: tuple  # tuple[_Field]
     words: int
     appends: tuple = ()
     bitpacks: tuple = ()
     row_broadcasts: tuple = ()
+    vocabs: tuple = ()
 
     @property
     def signature(self):
         return (tuple((f.key, f.dtype, f.shape) for f in self.fields),
-                self.appends, self.bitpacks, self.row_broadcasts)
+                self.appends, self.bitpacks, self.row_broadcasts,
+                self.vocabs)
 
 
 def layout_of(bd: dict, appends: tuple = (), bitpacks: tuple = (),
-              row_broadcasts: tuple = ()) -> PackedLayout | None:
+              row_broadcasts: tuple = (),
+              vocabs: tuple = ()) -> PackedLayout | None:
     """Build the layout for a batch dict, or None if it cannot pack
     (unknown dtype or a byte count not divisible by 4)."""
     fields = []
@@ -102,7 +115,7 @@ def layout_of(bd: dict, appends: tuple = (), bitpacks: tuple = (),
         fields.append(_Field(key, a.dtype.str, tuple(a.shape), off, wl))
         off += wl
     return PackedLayout(tuple(fields), off, tuple(appends), tuple(bitpacks),
-                        tuple(row_broadcasts))
+                        tuple(row_broadcasts), tuple(vocabs))
 
 
 CONSTANT_HASH = 11650396  # the VW constant feature (ingest/translator.py)
@@ -231,28 +244,161 @@ def unpack_uniform_combos(slim: dict, appends: tuple, mi):
     return out, tuple(new_appends), rb
 
 
-def prepare_for_transfer(bd: dict, mi, bitpack: bool = True):
+class VocabTransferState:
+    """Owns the persistent native VocabEncoder across a training stream
+    (one per producer). Recreates the encoder with fresh dictionaries if
+    the schema's high-water column count outgrows it (index assignments
+    restart; the next group ships a new signature + full snapshot)."""
+
+    def __init__(self, max_cap: int = 1 << 14):
+        # 2^14 keeps every realistic categorical-namespace dictionary
+        # (measured Eat-Rate: 2k/10k uniques) while making unbounded
+        # columns (the AB interaction: 32k+ uniques in the FIRST batch)
+        # overflow to direct DURING batch 0 — one stable layout signature
+        # for the whole run instead of a mid-run re-signature + recompile
+        self.venc = None
+        self.max_cap = max_cap
+
+    def encoder_for(self, n_cols: int):
+        if self.venc is None or self.venc.n_cols < n_cols:
+            if self.venc is not None:
+                self.venc.close()
+            from .. import native as fw_native
+
+            self.venc = fw_native.VocabEncoder(max(n_cols, 16), self.max_cap)
+        return self.venc
+
+    def close(self):
+        if self.venc is not None:
+            self.venc.close()
+            self.venc = None
+
+
+def _vocab_width(size: int) -> int:
+    """Wire bits for a dictionary of ``size`` entries — exact width
+    rounded up to EVEN, so a growing dictionary only re-signatures (and
+    recompiles the superbatch program) every 4× growth."""
+    w = max(4, int(size - 1).bit_length() if size > 1 else 1)
+    return w + (w & 1)
+
+
+def encode_vocab_ids(slim: dict, appends: tuple, mi,
+                     state: VocabTransferState):
+    """Dictionary-encode ``slim['lr_ids']`` for the transfer.
+
+    One fused native sweep (fwn_vocab_encode2) extracts/verifies the
+    batch-uniform combo row from combo-packed ids, masks them, and maps
+    each column to dense dictionary indices; each column then ships
+    ``_vocab_width(dict_size)`` bits instead of ``bit_precision``
+    (measured Eat-Rate schema: 2 columns at 12 bits + 10 at 14 + the
+    unbounded AB interaction column direct at 25 → 38 vs 62 B/example on
+    the measured-bottleneck uplink); the device resolves indices against
+    the vocabulary snapshot (see :class:`PackedLayout` and
+    :func:`export_vocab`). Only engages when it saves whole u32 words
+    over the plain uniform bit-pack. Returns
+    (slim, appends, row_broadcasts, vocabs_spec) — all unchanged/empty
+    when the encoding does not apply (variable combo layout, no native
+    lib, no saving)."""
+    ids = slim.get("lr_ids")
+    if ids is None or ids.ndim != 2 or ids.shape[1] == 0 \
+            or ids.dtype != np.int32 or ids.shape[0] == 0:
+        return slim, appends, (), ()
+    shift_bits = (mi.num_combos + 1).bit_length()
+    combos_packed = ("lr_combos" not in slim
+                     and mi.bit_precision + shift_bits <= 31)
+    W = ids.shape[1]
+    venc = state.encoder_for(W)
+    res = venc.encode2(ids, mi.bit_precision if combos_packed else 0,
+                       mi.lr_hash_mask)
+    if res is None:
+        return slim, appends, (), ()  # variable combo layout: plain path
+    idx, sizes, combo_row = res
+    widths = tuple(
+        mi.bit_precision if sizes[j] < 0 else _vocab_width(int(sizes[j]))
+        for j in range(W))
+    words = (sum(widths) + 31) // 32
+    plain_bits = mi.bit_precision + (shift_bits if combos_packed else 0)
+    if words >= (W * plain_bits + 31) // 32:
+        return slim, appends, (), ()  # all-direct / tiny schema: plain ≤
+    from .. import native as fw_native
+
+    packed = fw_native.bitpack_mixed(idx, np.array(widths, np.int32), words)
+    if packed is None or packed is False:
+        return slim, appends, (), ()  # no native lib / overflow
+    bases = []
+    off = 0
+    for j in range(W):
+        if sizes[j] < 0:
+            bases.append(-1)
+        else:
+            bases.append(off)
+            off += 1 << widths[j]
+    n_rows = (off + 127) // 128
+    out = dict(slim)
+    out["lr_ids"] = packed
+    row_broadcasts = ()
+    if combos_packed:
+        crow = combo_row.astype(np.int32)
+        new_appends = []
+        for key, v in appends:
+            if key == "lr_ids":
+                # the elided constant column's combo joins the broadcast
+                # row; its re-appended id sheds the combo bits
+                crow = np.append(crow,
+                                 np.int32((v >> mi.bit_precision) - 1))
+                v = int(v & mi.lr_hash_mask)
+            new_appends.append((key, v))
+        appends = tuple(new_appends)
+        row_broadcasts = (("lr_combos", np.dtype(np.int32).str,
+                           tuple(int(x) for x in crow),
+                           int(ids.shape[0])),)
+    return out, appends, row_broadcasts, (
+        ("lr_ids", widths, tuple(bases), n_rows),)
+
+
+def export_vocab(venc, spec) -> np.ndarray:
+    """Assemble the [n_rows, 128] i32 device vocabulary snapshot for a
+    layout's vocab spec (column dictionaries at their region bases)."""
+    _key, widths, bases, n_rows = spec
+    flat = np.zeros(n_rows * 128, np.int32)
+    for j, (w, b) in enumerate(zip(widths, bases)):
+        if b < 0:
+            continue
+        col = venc.export_col(j, 1 << w)
+        flat[b:b + len(col)] = col
+    return flat.reshape(n_rows, 128)
+
+
+def prepare_for_transfer(bd: dict, mi, bitpack: bool = True,
+                         vocab_state: VocabTransferState | None = None):
     """Production transfer slimming for one full batch: constant-feature
-    column elision, combo un-packing to a row broadcast, lr/ffm id
+    column elision, combo un-packing to a row broadcast, vocabulary
+    index encoding (when ``vocab_state`` is given), lr/ffm id
     bit-packing, and uniform-row elision (field indices, combo indices,
     multiplicity counts). Returns (slim, appends, bitpacks,
-    row_broadcasts) — the layout_of inputs. Used by the train loop's
-    producer and by bench.py's transfer probes so measurements ship the
-    production payload."""
+    row_broadcasts, vocabs) — the layout_of inputs. Used by the train
+    loop's producer and by bench.py's transfer probes so measurements
+    ship the production payload."""
     slim, appends = strip_constant_columns(bd, mi.lr_hash_mask)
     bitpacks = ()
     row_broadcasts = ()
+    vocabs = ()
     if bitpack:
-        slim, appends, rb0 = unpack_uniform_combos(slim, appends, mi)
-        row_broadcasts += rb0
-        shift_bits = (mi.num_combos + 1).bit_length()
-        if "lr_combos" not in slim and "lr_combos" not in (
-                r[0] for r in row_broadcasts) \
-                and mi.bit_precision + shift_bits <= 31:
-            id_bits = mi.bit_precision + shift_bits
-        else:
-            id_bits = mi.bit_precision
-        slim, bitpacks = bitpack_ids(slim, "lr_ids", id_bits)
+        if vocab_state is not None:
+            slim, appends, rb0, vocabs = encode_vocab_ids(
+                slim, appends, mi, vocab_state)
+            row_broadcasts += rb0
+        if not vocabs:
+            slim, appends, rb0 = unpack_uniform_combos(slim, appends, mi)
+            row_broadcasts += rb0
+            shift_bits = (mi.num_combos + 1).bit_length()
+            combos_out = "lr_combos" in slim or any(
+                r[0] == "lr_combos" for r in row_broadcasts)
+            if not combos_out and mi.bit_precision + shift_bits <= 31:
+                id_bits = mi.bit_precision + shift_bits
+            else:
+                id_bits = mi.bit_precision
+            slim, bitpacks = bitpack_ids(slim, "lr_ids", id_bits)
         if getattr(mi, "ffm_k", 0) > 0 and "ffm_ids" in slim:
             # ffm ids are the raw hash masked to 2^ffm_bit_precision
             # (native/fw_core.h translate_record; padding entries are 0)
@@ -261,7 +407,7 @@ def prepare_for_transfer(bd: dict, mi, bitpack: bool = True):
     for key in ("ffm_fields", "lr_combos", "lr_counts", "ffm_counts"):
         slim, rb = strip_uniform_rows(slim, key)
         row_broadcasts = row_broadcasts + rb
-    return slim, appends, bitpacks, row_broadcasts
+    return slim, appends, bitpacks, row_broadcasts, vocabs
 
 
 def pack(layout: PackedLayout, bds: list) -> np.ndarray:
@@ -276,9 +422,12 @@ def pack(layout: PackedLayout, bds: list) -> np.ndarray:
     return buf
 
 
-def unpack_row(row: jnp.ndarray, layout: PackedLayout) -> dict:
+def unpack_row(row: jnp.ndarray, layout: PackedLayout,
+               vocab: jnp.ndarray | None = None) -> dict:
     """Device-side inverse of :func:`pack` for one row — static slices +
-    bitcasts, fused into the consuming step by XLA (no extra HBM passes)."""
+    bitcasts, fused into the consuming step by XLA (no extra HBM passes).
+    ``vocab`` is the [n_rows, 128] i32 dictionary snapshot, required when
+    the layout carries a vocab spec."""
     bd = {}
     for f in layout.fields:
         seg = jax.lax.slice(row, (f.word_off,), (f.word_off + f.word_len,))
@@ -290,6 +439,28 @@ def unpack_row(row: jnp.ndarray, layout: PackedLayout) -> dict:
             # u32 [n] → [n, 4/itemsize] of the narrow type → flat
             arr = jax.lax.bitcast_convert_type(seg, jdt).reshape(-1)
         bd[f.key] = arr.reshape(f.shape)
+    for key, widths, bases, _n_rows in layout.vocabs:
+        a = bd[key]  # [B, words] u32
+        lanes = jnp.arange(128, dtype=jnp.int32)[None, :]
+        cols = []
+        o = 0
+        for wbits, base in zip(widths, bases):
+            w0, s = o // 32, o % 32
+            v = jax.lax.shift_right_logical(a[:, w0], jnp.uint32(s))
+            if s + wbits > 32:
+                v = v | jax.lax.shift_left(a[:, w0 + 1], jnp.uint32(32 - s))
+            v = (v & jnp.uint32((1 << wbits) - 1)).astype(jnp.int32)
+            if base >= 0:
+                # index → id via the snapshot: row gather + integer lane
+                # select (one-hot f32 would lose 25-bit ids past 2^24)
+                flat = v + jnp.int32(base)
+                rows = jnp.take(vocab, flat >> 7, axis=0)  # [B, 128]
+                v = jnp.sum(
+                    jnp.where((flat & 127)[:, None] == lanes, rows, 0),
+                    axis=1, dtype=jnp.int32)
+            cols.append(v)
+            o += wbits
+        bd[key] = jnp.stack(cols, axis=1)
     for key, bits, W in layout.bitpacks:
         # static shifts/masks per column — XLA fuses these into the step
         a = bd[key]  # [B, words] u32
@@ -314,11 +485,13 @@ def unpack_row(row: jnp.ndarray, layout: PackedLayout) -> dict:
 
 
 def make_packed_train_step(model, layout: PackedLayout, K: int):
-    """(params, buf [K, words] u32) → (params, preds [K, B]).
+    """(params, buf [K, words] u32[, vocab]) → (params, preds [K, B]).
 
     Runs K sequential train steps (identical math to the per-batch step —
     the raw step body is shared) inside one jit; params are donated so the
-    tables update in place.
+    tables update in place. When the layout carries a vocab spec the
+    jitted step takes the [n_rows, 128] i32 snapshot as a third,
+    non-donated argument (constant across the scan).
     """
     key = ("packed", layout.signature, K)
     cache = getattr(model, "_packed_steps", None)
@@ -332,13 +505,16 @@ def make_packed_train_step(model, layout: PackedLayout, K: int):
     make_train_step(model)  # ensure the raw body exists
     inner = model._train_step_raw
 
-    def body(params, row):
-        bd = unpack_row(row, layout)
-        params, p = inner(params, bd)
-        return params, p
-
-    def packed_steps(params, buf):
-        return jax.lax.scan(body, params, buf)
+    if layout.vocabs:
+        def packed_steps(params, buf, vocab):
+            def body(p, row):
+                return inner(p, unpack_row(row, layout, vocab))
+            return jax.lax.scan(body, params, buf)
+    else:
+        def packed_steps(params, buf):
+            def body(p, row):
+                return inner(p, unpack_row(row, layout))
+            return jax.lax.scan(body, params, buf)
 
     jitted = jax.jit(packed_steps, donate_argnums=(0,))
     cache[key] = jitted
@@ -373,16 +549,22 @@ def make_packed_train_step_ring(model, layout, K: int, M: int):
     make_train_step(model)  # ensure the raw body exists
     inner = model._train_step_raw
 
-    def body(params, row):
-        bd = unpack_row(row, layout)
-        params, p = inner(params, bd)
-        return params, p
+    def _scan(params, buf, vocab):
+        def body(p, row):
+            return inner(p, unpack_row(row, layout, vocab))
+        return jax.lax.scan(body, params, buf)
 
-    def packed_steps_ring(params, buf, ring, slot):
-        params, preds = jax.lax.scan(body, params, buf)
+    def _finish(params, preds, ring, slot):
         ring = jax.lax.dynamic_update_slice(
             ring, preds[None].astype(ring.dtype), (slot, 0, 0))
         return params, ring
+
+    if layout.vocabs:
+        def packed_steps_ring(params, buf, ring, slot, vocab):
+            return _finish(*_scan(params, buf, vocab), ring, slot)
+    else:
+        def packed_steps_ring(params, buf, ring, slot):
+            return _finish(*_scan(params, buf, None), ring, slot)
 
     jitted = jax.jit(packed_steps_ring, donate_argnums=(0,))
     cache[key] = jitted

@@ -52,7 +52,7 @@ def main() -> None:
         mi = ModelInstance.from_cmdline(a, vw)
         model = FwModel(mi, precision="default")
         staged = []
-        spec = ((), (), ())
+        spec = ((), (), (), ())
         for bd, _k in native_batch_stream(a, mi, vw, 32768,
                                           count_keys={"lr": 0}):
             bd, *spec = packed_mod.prepare_for_transfer(bd, mi)

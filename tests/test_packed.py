@@ -273,7 +273,8 @@ def test_unpack_uniform_combos_roundtrip():
     counts = np.full((B, W), 120, np.uint8)
     bd = {"label": rng.integers(0, 2, B).astype(np.uint8),
           "lr_ids": ids, "lr_counts": counts}
-    slim, ap, bp, rb = packed_mod.prepare_for_transfer(bd, MI)
+    slim, ap, bp, rb, vc = packed_mod.prepare_for_transfer(bd, MI)
+    assert vc == ()
     assert bp == (("lr_ids", 25, W - 1),)  # constant elided, 25-bit pack
     assert dict((r[0], r) for r in rb).keys() == {"lr_combos", "lr_counts"}
     assert ap == (("lr_ids", packed_mod.CONSTANT_HASH & MI.lr_hash_mask),
@@ -293,7 +294,7 @@ def test_unpack_uniform_combos_roundtrip():
     # one example with a different combo layout: ids stay combo-packed
     ids2 = ids.copy()
     ids2[3, 0] = (ids2[3, 0] & MI.lr_hash_mask) | (6 << 25)
-    slim2, ap2, bp2, rb2 = packed_mod.prepare_for_transfer(
+    slim2, ap2, bp2, rb2, _vc2 = packed_mod.prepare_for_transfer(
         {"label": bd["label"], "lr_ids": ids2, "lr_counts": counts}, MI)
     assert bp2 == (("lr_ids", 29, W - 1),)
     assert "lr_combos" not in dict((r[0], r) for r in rb2)
@@ -306,7 +307,105 @@ def test_unpack_uniform_combos_roundtrip():
     # non-uniform counts ship unchanged
     counts3 = counts.copy()
     counts3[5, 2] = 64
-    slim3, _ap3, _bp3, rb3 = packed_mod.prepare_for_transfer(
+    slim3, _ap3, _bp3, rb3, _vc3 = packed_mod.prepare_for_transfer(
         {"label": bd["label"], "lr_ids": ids, "lr_counts": counts3}, MI)
     assert "lr_counts" in slim3
     assert "lr_counts" not in dict((r[0], r) for r in rb3)
+
+
+def test_vocab_encoded_transfer_roundtrip():
+    """Dictionary-encoded ids: low-cardinality columns ship narrow
+    dictionary indices resolved on device against the vocabulary snapshot;
+    a column overflowing max_cap degrades to direct raw ids; unpack_row
+    restores the exact original ids. Persistent across batches: the second
+    batch reuses indices with no new snapshot needed."""
+    import jax
+    import numpy as np
+    from fwumious_wabbit_tpu import native
+    from fwumious_wabbit_tpu.train import packed as packed_mod
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+
+    class MI:
+        bit_precision = 25
+        lr_hash_mask = (1 << 25) - 1
+        num_combos = 3
+        ffm_k = 0
+
+    B, W = 512, 4
+    rng = np.random.default_rng(11)
+    vocab_a = rng.integers(0, 1 << 25, 40).astype(np.int32)   # 40 uniques
+    vocab_b = rng.integers(0, 1 << 25, 1000).astype(np.int32)
+    state = packed_mod.VocabTransferState(max_cap=256)
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        ids = np.stack([
+            vocab_a[r.integers(0, 40, B)],
+            vocab_b[r.integers(0, 1000, B)],        # overflows cap 256
+            r.integers(0, 1 << 25, B).astype(np.int32),  # high-cardinality
+            np.full(B, 12345, np.int32),
+        ], axis=1)
+        combos = np.broadcast_to(np.arange(W, dtype=np.int32), (B, W))
+        packed_ids = (ids | ((combos + 1) << 25)).astype(np.int32)
+        return ids, {"label": r.integers(0, 2, B).astype(np.uint8),
+                     "lr_ids": packed_ids}
+
+    ids1, bd1 = make_batch(1)
+    slim, ap, bp, rb, vc = packed_mod.prepare_for_transfer(
+        bd1, MI, vocab_state=state)
+    assert len(vc) == 1
+    _key, widths, bases, n_rows = vc[0]
+    assert bases[1] == -1 and bases[2] == -1  # overflowed / high-card → direct
+    assert bases[0] >= 0 and bases[3] >= 0
+    assert widths[1] == widths[2] == 25
+    assert widths[0] == 6  # 40 uniques → 6 bits (even-rounded)
+    assert widths[3] == 4  # 1 unique → floor width
+    assert state.venc.dirty
+    snap = packed_mod.export_vocab(state.venc, vc[0])
+    state.venc.clear_dirty()
+    assert snap.shape == (n_rows, 128) and snap.dtype == np.int32
+
+    lay = packed_mod.layout_of(slim, ap, bp, rb, vc)
+    vocab_dev = jax.device_put(snap)
+    out = jax.jit(lambda r, v: packed_mod.unpack_row(r, lay, v))(
+        packed_mod.pack(lay, [slim])[0], vocab_dev)
+    np.testing.assert_array_equal(np.asarray(out["lr_ids"]), ids1)
+    np.testing.assert_array_equal(
+        np.asarray(out["lr_combos"]),
+        np.broadcast_to(np.arange(W, dtype=np.int32), (B, W)))
+
+    # second batch: same dictionaries, indices resolve against the SAME
+    # snapshot (only genuinely new entries re-dirty the state)
+    ids2, bd2 = make_batch(2)
+    slim2, ap2, bp2, rb2, vc2 = packed_mod.prepare_for_transfer(
+        bd2, MI, vocab_state=state)
+    assert vc2 == vc  # stable signature
+    assert not state.venc.dirty  # col0 fully seen, others direct
+    lay2 = packed_mod.layout_of(slim2, ap2, bp2, rb2, vc2)
+    out2 = jax.jit(lambda r, v: packed_mod.unpack_row(r, lay2, v))(
+        packed_mod.pack(lay2, [slim2])[0], vocab_dev)
+    np.testing.assert_array_equal(np.asarray(out2["lr_ids"]), ids2)
+    state.close()
+
+
+def test_vocab_on_off_identical(tmp_path):
+    """--fwt_vocab on vs off over the superbatch path: byte-identical
+    predictions and models (the dictionary encoding is pure transfer
+    plumbing — ids decode exactly on device)."""
+    from fwumious_wabbit_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+
+    gen_dataset(tmp_path, n_train=5000, n_eval=10)
+    base = FLAGS + ["--data", str(tmp_path / "train.vw"), "--save_resume",
+                    "--fwt_superbatch", "3"]
+    p1, m1 = tmp_path / "on.preds", tmp_path / "on.model"
+    p2, m2 = tmp_path / "off.preds", tmp_path / "off.model"
+    run_cli(base + ["-p", str(p1), "-f", str(m1), "--fwt_vocab", "on"])
+    run_cli(base + ["-p", str(p2), "-f", str(m2), "--fwt_vocab", "off"])
+    assert p1.read_text() == p2.read_text()
+    assert p1.stat().st_size > 0
+    assert m1.read_bytes() == m2.read_bytes()
