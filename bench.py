@@ -212,8 +212,8 @@ def bench_decomposition(rows: int) -> dict:
     t0 = time.perf_counter()
     for bd, k in native_batch_stream(args, mi, vw, 32768,
                                      count_keys={"lr": 0}):
-        if len(staged) < K:
-            staged.append(bd)
+        if len(staged) < K and k == 32768:  # full batches only: a tail
+            staged.append(bd)               # batch has different shapes
         count += k
         if count >= n:
             break
@@ -251,16 +251,19 @@ def bench_decomposition(rows: int) -> dict:
     slimmed, appends, bitpacks, row_bcasts, vocabs = zip(
         *(packed_mod.prepare_for_transfer(b, mi, vocab_state=vstate)
           for b in staged))
-    vstate.close()
+    vocab_snap = None
     if all(a == appends[0] and bp == bitpacks[0] and rb == row_bcasts[0]
            and vc == vocabs[0]
            for a, bp, rb, vc in zip(appends, bitpacks, row_bcasts, vocabs)):
         lay = packed_mod.layout_of(slimmed[0], appends[0], bitpacks[0],
                                    row_bcasts[0], vocabs[0])
         buf = packed_mod.pack(lay, list(slimmed))
+        if vocabs[0]:
+            vocab_snap = packed_mod.export_vocab(vstate.venc, vocabs[0][0])
     else:  # mixed slimming across batches: measure the unslimmed payload
         lay = packed_mod.layout_of(staged[0])
         buf = packed_mod.pack(lay, staged)
+    vstate.close()
     batch_bytes = buf.nbytes // K
     reps = max(2, min(8, int(6e7 // max(buf.nbytes, 1))))
     warm = jax.device_put(buf)
@@ -278,19 +281,28 @@ def bench_decomposition(rows: int) -> dict:
     # RPC latency cannot touch the measurement
     model = FwModel(mi, precision="default")
     step_fn = packed_mod.make_packed_train_step(model, lay, K)
+    # vocab-encoded layouts take the device-resident dictionary snapshot
+    # as a third (non-donated) argument
+    vargs = ()
+    if lay.vocabs:
+        vdev = jax.device_put(vocab_snap if vocab_snap is not None
+                              else np.zeros((lay.vocabs[0][3], 128),
+                                            np.int32))
+        _ = np.asarray(vdev[:1, :1])
+        vargs = (vdev,)
     params = model.init_params()
     # warm thoroughly: the first couple of invocations carry compile +
     # donation-aliasing warm-up (measured 530k on call 2 vs the 1.13M
     # steady state); best-of-3 timed windows reports the real rate
     for _ in range(3):
-        params, preds = step_fn(params, warm)
+        params, preds = step_fn(params, warm, *vargs)
     _ = float(preds[0, 0])
     reps_s = 4
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(reps_s):
-            params, preds = step_fn(params, warm)
+            params, preds = step_fn(params, warm, *vargs)
         _ = float(preds[-1, -1])
         best = min(best, time.perf_counter() - t0)
     step_ex_s = reps_s * K * 32768 / best
@@ -397,18 +409,39 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
 
     probe_buf = None
     try:
-        staged = []
-        vstate = packed_mod.VocabTransferState()
+        staged, specs = [], []
+        # mirror the run's own slimming flags so the probe ships exactly
+        # the production payload
+        bitpack_on = (getattr(args, "fwt_bitpack", "auto") or "auto") != "off"
+        vstate = (packed_mod.VocabTransferState() if bitpack_on and
+                  (getattr(args, "fwt_vocab", "auto") or "auto") != "off"
+                  else None)
+        origs = []
         for bd, _k in native_batch_stream(args, mi, vw, 32768,
                                           count_keys={"lr": 0}):
-            bd, appends, bitpacks, row_bcasts, vocabs = (
-                packed_mod.prepare_for_transfer(bd, mi, vocab_state=vstate))
-            staged.append(bd)
+            if _k != 32768:  # tail batch: different shapes
+                continue
+            origs.append(bd)
+            slim, *spec = packed_mod.prepare_for_transfer(
+                bd, mi, bitpack=bitpack_on, vocab_state=vstate)
+            staged.append(slim)
+            specs.append(tuple(spec))
             if len(staged) >= 8:
                 break
-        vstate.close()
-        lay0 = packed_mod.layout_of(staged[0], appends, bitpacks, row_bcasts,
-                                    vocabs)
+        if vstate is not None:
+            vstate.close()
+        if any(s != specs[0] for s in specs):
+            # early dictionary growth re-signatured a batch: re-slim the
+            # originals WITHOUT vocab so the probe still ships one
+            # coherent (if slightly larger) payload
+            redone = [packed_mod.prepare_for_transfer(b, mi,
+                                                      bitpack=bitpack_on)
+                      for b in origs]
+            staged = [r[0] for r in redone]
+            specs = [tuple(r[1:]) for r in redone]
+            if any(s != specs[0] for s in specs):
+                raise RuntimeError("probe batches have mixed layouts")
+        lay0 = packed_mod.layout_of(staged[0], *specs[0])
         probe_buf = packed_mod.pack(lay0, staged)
     except Exception as e:  # noqa: BLE001
         print(f"# transfer-probe setup failed: {e}", file=sys.stderr)

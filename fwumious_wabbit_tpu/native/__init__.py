@@ -115,9 +115,6 @@ def _configure(lib):
     lib.fwn_vocab_create.restype = ctypes.c_void_p
     lib.fwn_vocab_create.argtypes = [ctypes.c_int32, ctypes.c_int32]
     lib.fwn_vocab_destroy.argtypes = [ctypes.c_void_p]
-    lib.fwn_vocab_encode.restype = ctypes.c_int
-    lib.fwn_vocab_encode.argtypes = [ctypes.c_void_p, P(i32), i64,
-                                     ctypes.c_int32, P(i32), P(i32)]
     lib.fwn_vocab_encode2.restype = ctypes.c_int
     lib.fwn_vocab_encode2.argtypes = [ctypes.c_void_p, P(i32), i64,
                                       ctypes.c_int32, i64, ctypes.c_int32,
@@ -287,11 +284,12 @@ class VocabEncoder:
     """Persistent per-column id→index dictionaries for the vocab-encoded
     packed transfer (train/packed.py encode_vocab_ids).
 
-    ``encode(ids)`` maps each column of a [B, W] i32 id block to dense
-    first-seen indices (row-major assignment order — deterministic per
-    stream); a column whose dictionary would exceed ``max_cap`` flips to
-    direct permanently and passes raw ids through. ``sizes[j]`` is the
-    dictionary size after the call, −1 once direct."""
+    ``encode2(raw, shift, mask)`` maps each column of a [B, W] i32 id
+    block to dense first-seen indices (row-major assignment order —
+    deterministic per stream); a column whose dictionary would exceed
+    ``max_cap`` flips to direct permanently and passes raw (masked) ids
+    through. ``sizes[j]`` is the dictionary size after the call, −1 once
+    direct."""
 
     def __init__(self, n_cols: int, max_cap: int = 1 << 16):
         lib = load()
@@ -301,19 +299,6 @@ class VocabEncoder:
         self._ptr = lib.fwn_vocab_create(n_cols, max_cap)
         self.n_cols = n_cols
         self.max_cap = max_cap
-
-    def encode(self, ids: np.ndarray):
-        ids = np.ascontiguousarray(ids, np.int32)
-        B, W = ids.shape
-        out = np.empty((B, W), np.int32)
-        sizes = np.empty(W, np.int32)
-        p = ctypes.POINTER(ctypes.c_int32)
-        ok = self._lib.fwn_vocab_encode(
-            self._ptr, ids.ctypes.data_as(p), B, W,
-            out.ctypes.data_as(p), sizes.ctypes.data_as(p))
-        if not ok:
-            raise ValueError("fwn_vocab_encode: bad arguments")
-        return out, sizes
 
     def encode2(self, raw: np.ndarray, shift: int, mask: int):
         """Fused single-sweep encode: ``raw`` may carry combo+1 in the

@@ -619,43 +619,6 @@ void* fwn_vocab_create(int32_t n_cols, int32_t max_cap) {
 
 void fwn_vocab_destroy(void* p) { delete static_cast<Vocab*>(p); }
 
-// Encode a [B, W] id block: vocab-live columns get first-seen dense
-// indices in out_idx (direct columns get the raw id copied through).
-// sizes[j] receives the column's dictionary size, or −1 once direct.
-// New ids are assigned in row-major order — deterministic per stream.
-int fwn_vocab_encode(void* p, const int32_t* ids, int64_t B, int32_t W,
-                     int32_t* out_idx, int32_t* sizes) {
-  auto* v = static_cast<Vocab*>(p);
-  if (size_t(W) > v->cols.size()) return 0;
-  // column-major passes keep each dictionary hot in cache
-  for (int32_t j = 0; j < W; j++) {
-    VocabCol& c = v->cols[size_t(j)];
-    if (c.direct) {
-      for (int64_t b = 0; b < B; b++) out_idx[b * W + j] = ids[b * W + j];
-      continue;
-    }
-    size_t before = c.order.size();
-    for (int64_t b = 0; b < B; b++) {
-      int32_t r = c.lookup_or_add(uint32_t(ids[b * W + j]), v->max_cap);
-      if (r < 0) {  // overflow: column ships raw ids from now on
-        c.direct = true;
-        v->dirty = true;
-        for (int64_t k = 0; k <= b; k++) out_idx[k * W + j] = ids[k * W + j];
-        for (int64_t k = b + 1; k < B; k++)
-          out_idx[k * W + j] = ids[k * W + j];
-        break;
-      }
-      out_idx[b * W + j] = r;
-    }
-    if (!c.direct && c.order.size() != before) v->dirty = true;
-  }
-  for (int32_t j = 0; j < W; j++)
-    sizes[j] = v->cols[size_t(j)].direct
-                   ? -1
-                   : int32_t(v->cols[size_t(j)].order.size());
-  return 1;
-}
-
 // Fused single-sweep encode (the production path): raw [B, W] ids that
 // may carry combo+1 in the bits at/above `shift` (shift=0: pure ids).
 // One row-major pass extracts and verifies a batch-uniform combo row,

@@ -258,6 +258,10 @@ class VocabTransferState:
         # for the whole run instead of a mid-run re-signature + recompile
         self.venc = None
         self.max_cap = max_cap
+        # latched once encoding can never pay off (dictionary widths only
+        # grow, so a no-saving verdict is permanent) — stops the per-batch
+        # native sweep on schemas where vocab encoding never engages
+        self.disabled = False
 
     def encoder_for(self, n_cols: int):
         if self.venc is None or self.venc.n_cols < n_cols:
@@ -300,8 +304,9 @@ def encode_vocab_ids(slim: dict, appends: tuple, mi,
     when the encoding does not apply (variable combo layout, no native
     lib, no saving)."""
     ids = slim.get("lr_ids")
-    if ids is None or ids.ndim != 2 or ids.shape[1] == 0 \
-            or ids.dtype != np.int32 or ids.shape[0] == 0:
+    if state.disabled or ids is None or ids.ndim != 2 \
+            or ids.shape[1] == 0 or ids.dtype != np.int32 \
+            or ids.shape[0] == 0:
         return slim, appends, (), ()
     shift_bits = (mi.num_combos + 1).bit_length()
     combos_packed = ("lr_combos" not in slim
@@ -312,19 +317,25 @@ def encode_vocab_ids(slim: dict, appends: tuple, mi,
                        mi.lr_hash_mask)
     if res is None:
         return slim, appends, (), ()  # variable combo layout: plain path
+        # (no latch: encode2 bails at the first mismatching row, and a
+        # later batch may well be row-uniform again)
     idx, sizes, combo_row = res
     widths = tuple(
         mi.bit_precision if sizes[j] < 0 else _vocab_width(int(sizes[j]))
         for j in range(W))
     words = (sum(widths) + 31) // 32
-    plain_bits = mi.bit_precision + (shift_bits if combos_packed else 0)
-    if words >= (W * plain_bits + 31) // 32:
-        return slim, appends, (), ()  # all-direct / tiny schema: plain ≤
+    # the real alternative is the combo-broadcast plain pack at
+    # bit_precision (combos are row-uniform here, or ship separately) —
+    # NOT the wider combo-packed encoding
+    if words >= (W * mi.bit_precision + 31) // 32:
+        state.disabled = True  # widths only grow: permanent verdict
+        return slim, appends, (), ()
     from .. import native as fw_native
 
     packed = fw_native.bitpack_mixed(idx, np.array(widths, np.int32), words)
     if packed is None or packed is False:
-        return slim, appends, (), ()  # no native lib / overflow
+        state.disabled = packed is None  # no native lib: permanent
+        return slim, appends, (), ()
     bases = []
     off = 0
     for j in range(W):
