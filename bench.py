@@ -248,15 +248,15 @@ def bench_decomposition(rows: int) -> dict:
     while len(staged) < K:
         staged.append(staged[-1])
     vstate = packed_mod.VocabTransferState()
-    slimmed, appends, bitpacks, row_bcasts, vocabs = zip(
+    slimmed, *spec_cols = zip(
         *(packed_mod.prepare_for_transfer(b, mi, vocab_state=vstate)
           for b in staged))
+    vocabs = spec_cols[3]
     vocab_snap = None
-    if all(a == appends[0] and bp == bitpacks[0] and rb == row_bcasts[0]
-           and vc == vocabs[0]
-           for a, bp, rb, vc in zip(appends, bitpacks, row_bcasts, vocabs)):
-        lay = packed_mod.layout_of(slimmed[0], appends[0], bitpacks[0],
-                                   row_bcasts[0], vocabs[0])
+    if all(tuple(c[i] for c in spec_cols) == tuple(c[0] for c in spec_cols)
+           for i in range(len(staged))):
+        lay = packed_mod.layout_of(slimmed[0],
+                                   *(c[0] for c in spec_cols))
         buf = packed_mod.pack(lay, list(slimmed))
         if vocabs[0]:
             vocab_snap = packed_mod.export_vocab(vstate.venc, vocabs[0][0])

@@ -120,6 +120,9 @@ def _configure(lib):
                                       ctypes.c_int32, i64, ctypes.c_int32,
                                       ctypes.c_uint32, P(i32), P(i32),
                                       P(i32)]
+    lib.fwn_counts_table.argtypes = [P(i32), P(ctypes.c_uint8), i64, i64,
+                                     ctypes.c_int32, P(i32),
+                                     P(ctypes.c_uint8)]
     lib.fwn_vocab_export.restype = i64
     lib.fwn_vocab_export.argtypes = [ctypes.c_void_p, ctypes.c_int32, P(i32)]
     lib.fwn_vocab_dirty.restype = ctypes.c_int
@@ -278,6 +281,31 @@ def bitpack_mixed(a: np.ndarray, bits, words: int):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return out if ok else False
+
+
+def counts_table(idx: np.ndarray, codes: np.ndarray, bases,
+                 tab_len: int):
+    """Build the vocabulary-shadow count table: a [tab_len] u8 array with
+    ``tab[bases[j] + idx[b, j]] = codes[b, j]`` for dictionary columns
+    (``bases[j] >= 0``). Returns the table, or None without the native
+    lib. ``codes`` may be a column-sliced view."""
+    lib = load()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, np.int32)
+    if codes.dtype != np.uint8 or codes.ndim != 2:
+        codes = np.ascontiguousarray(codes, np.uint8)
+    if codes.strides[1] != 1 or codes.strides[0] < codes.shape[1]:
+        codes = np.ascontiguousarray(codes)
+    bases = np.ascontiguousarray(bases, np.int32)
+    tab = np.zeros(tab_len, np.uint8)
+    lib.fwn_counts_table(
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        codes.strides[0], idx.shape[0], idx.shape[1],
+        bases.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return tab
 
 
 class VocabEncoder:

@@ -706,6 +706,23 @@ int fwn_vocab_encode2(void* p, const int32_t* raw, int64_t B, int32_t W,
   return 1;
 }
 
+// Scatter per-entry multiplicity codes into the vocabulary-shadow count
+// table (train/packed.py table_counts): tab[bases[j] + idx[b,j]] =
+// codes[b,j] for dictionary columns (bases[j] >= 0). Within one batch a
+// given id carries ONE global multiplicity, so the write is idempotent
+// per (column, index). `tab` must be zeroed by the caller; codes may be
+// a column-sliced view (row stride in bytes).
+void fwn_counts_table(const int32_t* idx, const uint8_t* codes,
+                      int64_t codes_stride, int64_t B, int32_t W,
+                      const int32_t* bases, uint8_t* tab) {
+  for (int64_t b = 0; b < B; b++) {
+    const int32_t* irow = idx + b * W;
+    const uint8_t* crow = codes + b * codes_stride;
+    for (int32_t j = 0; j < W; j++)
+      if (bases[j] >= 0) tab[bases[j] + irow[j]] = crow[j];
+  }
+}
+
 // write column j's dictionary (index order) into out; returns its size
 int64_t fwn_vocab_export(void* p, int32_t col, int32_t* out) {
   auto* v = static_cast<Vocab*>(p);

@@ -723,12 +723,13 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                         # constant-feature column elision + id bit-packing
                         # + vocab indexing: pure transfer savings, undone
                         # device-side (packed.py unpack_row)
-                        slim, appends, bitpacks, row_bcasts, vocabs = (
-                            packed_mod.prepare_for_transfer(
+                        slim, appends, bitpacks, row_bcasts, vocabs, \
+                            ctabs = packed_mod.prepare_for_transfer(
                                 bd, mi, bitpack=bitpack_on,
-                                vocab_state=vocab_state))
+                                vocab_state=vocab_state)
                         lay = packed_mod.layout_of(
-                            slim, appends, bitpacks, row_bcasts, vocabs)
+                            slim, appends, bitpacks, row_bcasts, vocabs,
+                            ctabs)
                     if lay is not None and (
                             glay is None or lay.signature == glay.signature):
                         group.append((bd, slim))

@@ -81,7 +81,15 @@ class PackedLayout:
     (row-gather + lane select — scalar gathers are pathological on TPU),
     while ``bases[j] == -1`` columns carry raw ids (high-cardinality
     columns, e.g. LR interaction combos, degrade to direct). See
-    :func:`encode_vocab_ids`."""
+    :func:`encode_vocab_ids`.
+
+    ``count_tabs``: multiplicity-count columns shipped as a u8 SHADOW of
+    the vocab regions — tuple of (counts_key, ids_key): within a batch a
+    given id has one global multiplicity, so for dictionary columns the
+    per-entry code column is redundant with a per-(column, index) table
+    (``counts_key + '_tab'``, one u8 per vocab slot ≈ 5 B/example vs 12
+    on the Eat-Rate schema); direct columns keep per-entry codes in a
+    narrowed ``counts_key`` array. See :func:`table_counts`."""
 
     fields: tuple  # tuple[_Field]
     words: int
@@ -89,17 +97,18 @@ class PackedLayout:
     bitpacks: tuple = ()
     row_broadcasts: tuple = ()
     vocabs: tuple = ()
+    count_tabs: tuple = ()
 
     @property
     def signature(self):
         return (tuple((f.key, f.dtype, f.shape) for f in self.fields),
                 self.appends, self.bitpacks, self.row_broadcasts,
-                self.vocabs)
+                self.vocabs, self.count_tabs)
 
 
 def layout_of(bd: dict, appends: tuple = (), bitpacks: tuple = (),
-              row_broadcasts: tuple = (),
-              vocabs: tuple = ()) -> PackedLayout | None:
+              row_broadcasts: tuple = (), vocabs: tuple = (),
+              count_tabs: tuple = ()) -> PackedLayout | None:
     """Build the layout for a batch dict, or None if it cannot pack
     (unknown dtype or a byte count not divisible by 4)."""
     fields = []
@@ -115,7 +124,8 @@ def layout_of(bd: dict, appends: tuple = (), bitpacks: tuple = (),
         fields.append(_Field(key, a.dtype.str, tuple(a.shape), off, wl))
         off += wl
     return PackedLayout(tuple(fields), off, tuple(appends), tuple(bitpacks),
-                        tuple(row_broadcasts), tuple(vocabs))
+                        tuple(row_broadcasts), tuple(vocabs),
+                        tuple(count_tabs))
 
 
 CONSTANT_HASH = 11650396  # the VW constant feature (ingest/translator.py)
@@ -300,14 +310,16 @@ def encode_vocab_ids(slim: dict, appends: tuple, mi,
     the vocabulary snapshot (see :class:`PackedLayout` and
     :func:`export_vocab`). Only engages when it saves whole u32 words
     over the plain uniform bit-pack. Returns
-    (slim, appends, row_broadcasts, vocabs_spec) — all unchanged/empty
-    when the encoding does not apply (variable combo layout, no native
-    lib, no saving)."""
+    (slim, appends, row_broadcasts, vocabs_spec, idx) — idx is the raw
+    [B, W] i32 index matrix (dictionary indices for vocab columns, masked
+    ids for direct ones), reused by :func:`table_counts`; all
+    unchanged/empty (idx None) when the encoding does not apply
+    (variable combo layout, no native lib, no saving)."""
     ids = slim.get("lr_ids")
     if state.disabled or ids is None or ids.ndim != 2 \
             or ids.shape[1] == 0 or ids.dtype != np.int32 \
             or ids.shape[0] == 0:
-        return slim, appends, (), ()
+        return slim, appends, (), (), None
     shift_bits = (mi.num_combos + 1).bit_length()
     combos_packed = ("lr_combos" not in slim
                      and mi.bit_precision + shift_bits <= 31)
@@ -316,7 +328,7 @@ def encode_vocab_ids(slim: dict, appends: tuple, mi,
     res = venc.encode2(ids, mi.bit_precision if combos_packed else 0,
                        mi.lr_hash_mask)
     if res is None:
-        return slim, appends, (), ()  # variable combo layout: plain path
+        return slim, appends, (), (), None  # variable combos: plain path
         # (no latch: encode2 bails at the first mismatching row, and a
         # later batch may well be row-uniform again)
     idx, sizes, combo_row = res
@@ -329,13 +341,13 @@ def encode_vocab_ids(slim: dict, appends: tuple, mi,
     # NOT the wider combo-packed encoding
     if words >= (W * mi.bit_precision + 31) // 32:
         state.disabled = True  # widths only grow: permanent verdict
-        return slim, appends, (), ()
+        return slim, appends, (), (), None
     from .. import native as fw_native
 
     packed = fw_native.bitpack_mixed(idx, np.array(widths, np.int32), words)
     if packed is None or packed is False:
         state.disabled = packed is None  # no native lib: permanent
-        return slim, appends, (), ()
+        return slim, appends, (), (), None
     bases = []
     off = 0
     for j in range(W):
@@ -364,7 +376,7 @@ def encode_vocab_ids(slim: dict, appends: tuple, mi,
                            tuple(int(x) for x in crow),
                            int(ids.shape[0])),)
     return out, appends, row_broadcasts, (
-        ("lr_ids", widths, tuple(bases), n_rows),)
+        ("lr_ids", widths, tuple(bases), n_rows),), idx
 
 
 def export_vocab(venc, spec) -> np.ndarray:
@@ -380,25 +392,75 @@ def export_vocab(venc, spec) -> np.ndarray:
     return flat.reshape(n_rows, 128)
 
 
+def table_counts(slim: dict, vocabs: tuple, idx, row_broadcasts: tuple):
+    """Re-encode ``lr_counts`` as a u8 shadow of the vocab regions.
+
+    Within one batch an id has ONE global multiplicity (the radix counts
+    are keyed by the id alone), so for dictionary columns the per-entry
+    code is a function of (column, index): ship it once per vocab slot
+    (``lr_counts_tab``, reusing the vocab bases) instead of once per
+    example — 12 → ~5.25 B/example on the Eat-Rate schema. Direct
+    columns keep per-entry codes in a narrowed ``lr_counts``.
+
+    Requires exact conditions (checked here; ship per-entry otherwise):
+    the value column was elided as all-ones (a zero-valued entry's code
+    is 0 regardless of its id, breaking the id→code function) and the
+    batch has no padding entries (their code is 0 the same way) — i.e.
+    the combo broadcast row is all non-negative."""
+    counts = slim.get("lr_counts")
+    if idx is None or not vocabs or counts is None \
+            or "lr_vals" in slim or counts.ndim != 2 \
+            or counts.shape != idx.shape or counts.dtype != np.uint8:
+        return slim, ()
+    for key, _dt, row_vals, _b in row_broadcasts:
+        if key == "lr_combos" and any(v < 0 for v in row_vals):
+            return slim, ()  # padded batch: codes are 0 at padding
+    if "lr_combos" in slim:
+        return slim, ()  # combo column shipped raw: padding unknown
+    if (counts == counts[0]).all():
+        return slim, ()  # row-uniform: broadcast elision is free, a tab
+        # would ship n_rows*128 bytes for nothing (strip_uniform_rows)
+    _key, widths, bases, n_rows = vocabs[0]
+    n_direct = sum(1 for b in bases if b < 0)
+    B, W = counts.shape
+    if n_rows * 128 + B * n_direct >= B * W:
+        return slim, ()  # tab + direct columns outweigh per-entry codes
+        # (large vocab relative to the batch)
+    from .. import native as fw_native
+
+    tab = fw_native.counts_table(idx, counts, bases, n_rows * 128)
+    if tab is None:
+        return slim, ()
+    direct = [j for j, b in enumerate(bases) if b < 0]
+    out = dict(slim)
+    out["lr_counts"] = np.ascontiguousarray(counts[:, direct])
+    out["lr_counts_tab"] = tab
+    return out, (("lr_counts", "lr_ids"),)
+
+
 def prepare_for_transfer(bd: dict, mi, bitpack: bool = True,
                          vocab_state: VocabTransferState | None = None):
     """Production transfer slimming for one full batch: constant-feature
     column elision, combo un-packing to a row broadcast, vocabulary
-    index encoding (when ``vocab_state`` is given), lr/ffm id
-    bit-packing, and uniform-row elision (field indices, combo indices,
-    multiplicity counts). Returns (slim, appends, bitpacks,
-    row_broadcasts, vocabs) — the layout_of inputs. Used by the train
-    loop's producer and by bench.py's transfer probes so measurements
-    ship the production payload."""
+    index encoding + shadow-table counts (when ``vocab_state`` is
+    given), lr/ffm id bit-packing, and uniform-row elision (field
+    indices, combo indices, multiplicity counts). Returns (slim,
+    appends, bitpacks, row_broadcasts, vocabs, count_tabs) — the
+    layout_of inputs. Used by the train loop's producer and by bench.py's
+    transfer probes so measurements ship the production payload."""
     slim, appends = strip_constant_columns(bd, mi.lr_hash_mask)
     bitpacks = ()
     row_broadcasts = ()
     vocabs = ()
+    count_tabs = ()
     if bitpack:
         if vocab_state is not None:
-            slim, appends, rb0, vocabs = encode_vocab_ids(
+            slim, appends, rb0, vocabs, idx = encode_vocab_ids(
                 slim, appends, mi, vocab_state)
             row_broadcasts += rb0
+            if vocabs:
+                slim, count_tabs = table_counts(slim, vocabs, idx,
+                                                row_broadcasts)
         if not vocabs:
             slim, appends, rb0 = unpack_uniform_combos(slim, appends, mi)
             row_broadcasts += rb0
@@ -416,9 +478,11 @@ def prepare_for_transfer(bd: dict, mi, bitpack: bool = True,
             slim, bp2 = bitpack_ids(slim, "ffm_ids", mi.ffm_bit_precision)
             bitpacks = bitpacks + bp2
     for key in ("ffm_fields", "lr_combos", "lr_counts", "ffm_counts"):
+        if count_tabs and key == "lr_counts":
+            continue  # narrowed direct-column array: unpack needs it
         slim, rb = strip_uniform_rows(slim, key)
         row_broadcasts = row_broadcasts + rb
-    return slim, appends, bitpacks, row_broadcasts, vocabs
+    return slim, appends, bitpacks, row_broadcasts, vocabs, count_tabs
 
 
 def pack(layout: PackedLayout, bds: list) -> np.ndarray:
@@ -450,10 +514,22 @@ def unpack_row(row: jnp.ndarray, layout: PackedLayout,
             # u32 [n] → [n, 4/itemsize] of the narrow type → flat
             arr = jax.lax.bitcast_convert_type(seg, jdt).reshape(-1)
         bd[f.key] = arr.reshape(f.shape)
+    lanes = jnp.arange(128, dtype=jnp.int32)[None, :]
+
+    def _tab_select(tab2d, flat):
+        # flat index → value via row gather + integer lane select (scalar
+        # gathers are pathological on TPU; one-hot f32 contraction would
+        # lose 25-bit ids past 2^24)
+        rows = jnp.take(tab2d, flat >> 7, axis=0)  # [B, 128]
+        return jnp.sum(
+            jnp.where((flat & 127)[:, None] == lanes, rows, 0),
+            axis=1, dtype=jnp.int32)
+
+    vocab_idx = {}  # key → per-column raw index/id vectors (pre-gather)
     for key, widths, bases, _n_rows in layout.vocabs:
         a = bd[key]  # [B, words] u32
-        lanes = jnp.arange(128, dtype=jnp.int32)[None, :]
         cols = []
+        idxs = []
         o = 0
         for wbits, base in zip(widths, bases):
             w0, s = o // 32, o % 32
@@ -461,17 +537,29 @@ def unpack_row(row: jnp.ndarray, layout: PackedLayout,
             if s + wbits > 32:
                 v = v | jax.lax.shift_left(a[:, w0 + 1], jnp.uint32(32 - s))
             v = (v & jnp.uint32((1 << wbits) - 1)).astype(jnp.int32)
+            idxs.append(v)
             if base >= 0:
-                # index → id via the snapshot: row gather + integer lane
-                # select (one-hot f32 would lose 25-bit ids past 2^24)
-                flat = v + jnp.int32(base)
-                rows = jnp.take(vocab, flat >> 7, axis=0)  # [B, 128]
-                v = jnp.sum(
-                    jnp.where((flat & 127)[:, None] == lanes, rows, 0),
-                    axis=1, dtype=jnp.int32)
+                v = _tab_select(vocab, v + jnp.int32(base))
             cols.append(v)
             o += wbits
         bd[key] = jnp.stack(cols, axis=1)
+        vocab_idx[key] = (idxs, bases)
+    for ckey, idkey in layout.count_tabs:
+        # multiplicity codes: dictionary columns read the u8 shadow table
+        # at their vocab slot; direct columns take the next per-entry
+        # column of the narrowed ckey array (see table_counts)
+        idxs, bases = vocab_idx[idkey]
+        tab2d = bd.pop(ckey + "_tab").reshape(-1, 128)
+        direct = bd[ckey]  # [B, D] u8
+        cols = []
+        d = 0
+        for j, base in enumerate(bases):
+            if base < 0:
+                cols.append(direct[:, d].astype(jnp.int32))
+                d += 1
+            else:
+                cols.append(_tab_select(tab2d, idxs[j] + jnp.int32(base)))
+        bd[ckey] = jnp.stack(cols, axis=1).astype(jnp.uint8)
     for key, bits, W in layout.bitpacks:
         # static shifts/masks per column — XLA fuses these into the step
         a = bd[key]  # [B, words] u32

@@ -273,7 +273,7 @@ def test_unpack_uniform_combos_roundtrip():
     counts = np.full((B, W), 120, np.uint8)
     bd = {"label": rng.integers(0, 2, B).astype(np.uint8),
           "lr_ids": ids, "lr_counts": counts}
-    slim, ap, bp, rb, vc = packed_mod.prepare_for_transfer(bd, MI)
+    slim, ap, bp, rb, vc, _ct = packed_mod.prepare_for_transfer(bd, MI)
     assert vc == ()
     assert bp == (("lr_ids", 25, W - 1),)  # constant elided, 25-bit pack
     assert dict((r[0], r) for r in rb).keys() == {"lr_combos", "lr_counts"}
@@ -294,7 +294,7 @@ def test_unpack_uniform_combos_roundtrip():
     # one example with a different combo layout: ids stay combo-packed
     ids2 = ids.copy()
     ids2[3, 0] = (ids2[3, 0] & MI.lr_hash_mask) | (6 << 25)
-    slim2, ap2, bp2, rb2, _vc2 = packed_mod.prepare_for_transfer(
+    slim2, ap2, bp2, rb2, _vc2, _ct2b = packed_mod.prepare_for_transfer(
         {"label": bd["label"], "lr_ids": ids2, "lr_counts": counts}, MI)
     assert bp2 == (("lr_ids", 29, W - 1),)
     assert "lr_combos" not in dict((r[0], r) for r in rb2)
@@ -307,7 +307,7 @@ def test_unpack_uniform_combos_roundtrip():
     # non-uniform counts ship unchanged
     counts3 = counts.copy()
     counts3[5, 2] = 64
-    slim3, _ap3, _bp3, rb3, _vc3 = packed_mod.prepare_for_transfer(
+    slim3, _ap3, _bp3, rb3, _vc3, _ct3 = packed_mod.prepare_for_transfer(
         {"label": bd["label"], "lr_ids": ids, "lr_counts": counts3}, MI)
     assert "lr_counts" in slim3
     assert "lr_counts" not in dict((r[0], r) for r in rb3)
@@ -353,7 +353,7 @@ def test_vocab_encoded_transfer_roundtrip():
                      "lr_ids": packed_ids}
 
     ids1, bd1 = make_batch(1)
-    slim, ap, bp, rb, vc = packed_mod.prepare_for_transfer(
+    slim, ap, bp, rb, vc, _ct = packed_mod.prepare_for_transfer(
         bd1, MI, vocab_state=state)
     assert len(vc) == 1
     _key, widths, bases, n_rows = vc[0]
@@ -379,7 +379,7 @@ def test_vocab_encoded_transfer_roundtrip():
     # second batch: same dictionaries, indices resolve against the SAME
     # snapshot (only genuinely new entries re-dirty the state)
     ids2, bd2 = make_batch(2)
-    slim2, ap2, bp2, rb2, vc2 = packed_mod.prepare_for_transfer(
+    slim2, ap2, bp2, rb2, vc2, _ct2 = packed_mod.prepare_for_transfer(
         bd2, MI, vocab_state=state)
     assert vc2 == vc  # stable signature
     assert not state.venc.dirty  # col0 fully seen, others direct
@@ -387,6 +387,89 @@ def test_vocab_encoded_transfer_roundtrip():
     out2 = jax.jit(lambda r, v: packed_mod.unpack_row(r, lay2, v))(
         packed_mod.pack(lay2, [slim2])[0], vocab_dev)
     np.testing.assert_array_equal(np.asarray(out2["lr_ids"]), ids2)
+    state.close()
+
+
+def test_count_table_roundtrip():
+    """Shadow-table counts: for dictionary columns the per-entry
+    multiplicity code is a function of (column, index) within a batch, so
+    it ships once per vocab slot as a u8 table; direct columns keep a
+    narrowed per-entry array. unpack_row restores exact [B, W] counts.
+    Uniform-count batches bail out (broadcast elision is cheaper)."""
+    import jax
+    import numpy as np
+    from fwumious_wabbit_tpu import native
+    from fwumious_wabbit_tpu.train import packed as packed_mod
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+
+    class MI:
+        bit_precision = 25
+        lr_hash_mask = (1 << 25) - 1
+        num_combos = 3
+        ffm_k = 0
+
+    B, W = 512, 4
+    rng = np.random.default_rng(7)
+    vocab_a = rng.integers(0, 1 << 25, 40).astype(np.int32)
+    vocab_b = rng.integers(0, 1 << 25, 90).astype(np.int32)
+
+    def code_of(ids):  # deterministic id→multiplicity stand-in
+        return ((ids % 200) + 1).astype(np.uint8)
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        ids = np.stack([
+            vocab_a[r.integers(0, 40, B)],
+            vocab_b[r.integers(0, 90, B)],
+            r.integers(0, 1 << 25, B).astype(np.int32),  # direct
+            np.full(B, 999, np.int32),
+        ], axis=1)
+        combos = np.broadcast_to(np.arange(W, dtype=np.int32), (B, W))
+        packed_ids = (ids | ((combos + 1) << 25)).astype(np.int32)
+        return ids, {"label": r.integers(0, 2, B).astype(np.uint8),
+                     "lr_ids": packed_ids, "lr_counts": code_of(ids)}
+
+    state = packed_mod.VocabTransferState(max_cap=256)
+    ids1, bd1 = make_batch(1)
+    counts1 = bd1["lr_counts"].copy()
+    slim, ap, bp, rb, vc, ct = packed_mod.prepare_for_transfer(
+        bd1, MI, vocab_state=state)
+    assert ct == (("lr_counts", "lr_ids"),)
+    _key, widths, bases, n_rows = vc[0]
+    n_direct = sum(1 for b in bases if b < 0)
+    assert n_direct == 1  # only the high-cardinality column is direct
+    assert slim["lr_counts"].shape == (B, n_direct)
+    assert slim["lr_counts_tab"].shape == (n_rows * 128,)
+    snap = packed_mod.export_vocab(state.venc, vc[0])
+    lay = packed_mod.layout_of(slim, ap, bp, rb, vc, ct)
+    out = jax.jit(lambda r, v: packed_mod.unpack_row(r, lay, v))(
+        packed_mod.pack(lay, [slim])[0], jax.device_put(snap))
+    np.testing.assert_array_equal(np.asarray(out["lr_ids"]), ids1)
+    np.testing.assert_array_equal(np.asarray(out["lr_counts"]), counts1)
+    assert np.asarray(out["lr_counts"]).dtype == np.uint8
+
+    # tab bytes beat per-entry bytes on this shape
+    assert n_rows * 128 + B * n_direct < B * W
+
+    # uniform counts: table path declines, broadcast elision takes over
+    _ids_u, bd_u = make_batch(3)
+    bd_u["lr_counts"] = np.full((B, W), 5, np.uint8)
+    slim_u, _ap, _bp, rb_u, _vc, ct_u = packed_mod.prepare_for_transfer(
+        bd_u, MI, vocab_state=state)
+    assert ct_u == ()
+    assert "lr_counts" not in slim_u
+    assert any(r[0] == "lr_counts" for r in rb_u)
+
+    # a value column blocks the encoding (zero-valued entries carry code
+    # 0 regardless of id)
+    _ids_v, bd_v = make_batch(4)
+    bd_v["lr_vals"] = np.ones((B, W), np.float32)
+    slim_v, *_rest_v, ct_v = packed_mod.prepare_for_transfer(
+        bd_v, MI, vocab_state=state)
+    assert ct_v == ()
+    assert slim_v["lr_counts"].shape == (B, W)
     state.close()
 
 
