@@ -432,8 +432,17 @@ static inline uint8_t encode_count(uint64_t c) {
 void fwn_batch_counts(const int32_t* ids, const int8_t* mark,
                       const float* vals, int64_t K,
                       int32_t shift, uint8_t* out) {
-  std::vector<uint64_t> cur;
-  cur.reserve(size_t(K));
+  // scratch persists across calls (producer thread calls this per batch;
+  // fresh vectors measured ~7 MB of malloc + zero-fill + page-fault churn
+  // per 32k x 13 batch, a large share of the counts pass)
+  static thread_local std::vector<uint64_t> cur, nxt;
+  static thread_local std::vector<size_t> hist;
+  constexpr int B1 = 13;  // fixed low-digit width: 8K-bucket histogram
+  // (64 KB, L2-resident) built DURING the key-build pass below — an
+  // adaptive b1 would need `seen` first and cost one extra 8 B/entry read
+  if (cur.capacity() < size_t(K)) cur.reserve(size_t(K));
+  cur.clear();
+  hist.assign((size_t(1) << B1) + 1, 0);
   uint32_t seen = 0;
   for (int64_t i = 0; i < K; i++) {
     // skip padding AND explicit zero-valued features (vals may be null
@@ -447,32 +456,35 @@ void fwn_batch_counts(const int32_t* ids, const int8_t* mark,
     }
     uint32_t key = uint32_t(ids[i]) >> shift;
     seen |= key;
+    hist[(key & ((1u << B1) - 1)) + 1]++;
     cur.push_back((uint64_t(key) << 24) | uint64_t(i));
   }
   size_t n = cur.size();
-  std::vector<uint64_t> nxt(n);
-  // adaptive two-pass radix: size the digit widths to the ACTUAL key range
-  // (the seen mask's high bit). Hash ids are < 2^25 on typical configs, so
-  // ~13+12-bit passes replace fixed 16+16 — the scatter's working set
-  // (bucket destinations + rolling pointers) drops from ~4 MB to L2-resident
-  // and the second pass stops paying for 64Ki mostly-empty buckets.
+  if (nxt.size() < n) nxt.resize(n);
   int key_bits = 32;
   while (key_bits > 1 && !(seen >> (key_bits - 1))) key_bits--;
   if (seen == 0) key_bits = 1;
-  int b1 = (key_bits + 1) / 2;      // low-digit width (first pass)
-  int b2 = key_bits - b1;           // high-digit width (second pass)
-  static thread_local std::vector<size_t> hist;
-  for (int pass = 0; pass < 2; pass++) {
-    int bit = pass == 0 ? 24 : 24 + b1;
-    int width = pass == 0 ? b1 : b2;
-    if (width <= 0) continue;
+  // pass 1: low B1 bits, histogram already built above
+  {
+    size_t buckets = size_t(1) << B1;
+    uint64_t mask = buckets - 1;
+    for (size_t b = 0; b < buckets; b++) hist[b + 1] += hist[b];
+    for (size_t i = 0; i < n; i++)
+      nxt[hist[(cur[i] >> 24) & mask]++] = cur[i];
+    cur.swap(nxt);
+  }
+  // pass 2: remaining high bits (hash ids are < 2^25 on typical configs,
+  // so this is ~12 bits; none needed for keys that fit B1)
+  if (key_bits > B1) {
+    int width = key_bits - B1;
     size_t buckets = size_t(1) << width;
     uint64_t mask = buckets - 1;
     hist.assign(buckets + 1, 0);
-    for (size_t i = 0; i < n; i++) hist[((cur[i] >> bit) & mask) + 1]++;
+    for (size_t i = 0; i < n; i++)
+      hist[((cur[i] >> (24 + B1)) & mask) + 1]++;
     for (size_t b = 0; b < buckets; b++) hist[b + 1] += hist[b];
     for (size_t i = 0; i < n; i++)
-      nxt[hist[(cur[i] >> bit) & mask]++] = cur[i];
+      nxt[hist[(cur[i] >> (24 + B1)) & mask]++] = cur[i];
     cur.swap(nxt);
   }
   // run-length counts over the sorted keys, written back via the index
