@@ -720,6 +720,14 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent XLA compilation cache: skips the first-compile and
+        # pins one compiled step program across processes (loop.py
+        # configure_compile_cache; the step timing is otherwise bimodal
+        # between processes on this TPU)
+        from fwumious_wabbit_tpu.train.loop import configure_compile_cache
+
+        configure_compile_cache()
     rows = 1_000_000
     if "--rows" in sys.argv:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])

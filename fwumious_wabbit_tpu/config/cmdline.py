@@ -97,6 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Device batch size for the synchronous training step")
     g.add_argument("--fwt_platform", default=None,
                    help="Force a JAX platform (cpu/tpu); default: auto")
+    g.add_argument("--fwt_compile_cache", default=None, metavar="DIR",
+                   help="Persistent XLA compilation cache directory "
+                        "(skips recompiles across processes; also pins "
+                        "one compiled program where the compiler is "
+                        "run-to-run nondeterministic). Default: "
+                        "~/.cache/fwt_xla on non-CPU platforms; 'off' "
+                        "disables")
     g.add_argument("--fwt_data_axis", type=int, default=None,
                    help="Number of devices on the data-parallel mesh axis")
     g.add_argument("--fwt_table_axis", type=int, default=1,

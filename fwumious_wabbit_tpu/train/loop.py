@@ -908,6 +908,37 @@ def _daemonize() -> None:
     os.close(devnull)
 
 
+def configure_compile_cache(args=None) -> None:
+    """Enable JAX's persistent XLA compilation cache on non-CPU platforms.
+
+    Skips the 20-40 s first-compile on every process (the step program is
+    stable across runs of one schema) and pins ONE compiled program where
+    the compiler is run-to-run nondeterministic — the whole-step timing on
+    this TPU measures bimodal between processes (CLAUDE.md); a shared
+    cache freezes whichever compilation was cached first. `--fwt_compile_cache
+    off` (or FWT_COMPILE_CACHE=off) disables; CPU runs (tests) never cache."""
+    import jax
+
+    cache_dir = getattr(args, "fwt_compile_cache", None) if args else None
+    if cache_dir is None:
+        cache_dir = os.environ.get("FWT_COMPILE_CACHE")
+    if cache_dir == "off":
+        return
+    platform = getattr(args, "fwt_platform", None) if args else None
+    if platform is None:
+        platform = jax.config.jax_platforms or ""
+    if "cpu" in str(platform):
+        return
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "fwt_xla")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError) as e:  # pragma: no cover
+        log.warning("compilation cache disabled: %s", e)
+
+
 def main(argv=None) -> int:
     import logging
 
@@ -929,6 +960,8 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.fwt_platform)
+
+    configure_compile_cache(args)
 
     # multi-host: must run before any JAX backend initialization
     from ..parallel.distributed import initialize_multihost
