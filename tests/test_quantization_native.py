@@ -74,7 +74,8 @@ def test_scalar_f16_fallback_bit_identical_to_numpy():
         (np.random.default_rng(1).normal(size=1024) * 1e-6).astype(np.float32),
     ])
     xs = np.concatenate([xs, -xs])
-    want = xs.astype(np.float16).view(np.uint16)
+    with np.errstate(over="ignore"):  # 65520/65536 -> inf is the point
+        want = xs.astype(np.float16).view(np.uint16)
     got = np.array([lib.fwn_f32_to_f16_scalar(float(x)) for x in xs],
                    np.uint16)
     bad = np.nonzero(got != want)[0]
