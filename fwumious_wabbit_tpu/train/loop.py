@@ -217,9 +217,13 @@ def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
         if flags & 2 and mi.ffm_k > 0:
             del bd["ffm_vals"]
         if pack_shift is not None:
-            bd["lr_ids"] = bd["lr_ids"] | (
-                (bd["lr_combos"].astype(np.int32) + 1) << pack_shift
-            )
+            # in-place: one i32 temp for the widened combos, then
+            # add/shift/or reuse it (4 fresh [B, W] temporaries measured
+            # ~2 ms/batch on the producer's critical path)
+            c32 = bd["lr_combos"].astype(np.int32)
+            np.add(c32, 1, out=c32)
+            np.left_shift(c32, pack_shift, out=c32)
+            np.bitwise_or(bd["lr_ids"], c32, out=bd["lr_ids"])
             del bd["lr_combos"]
         bd["label"] = bd["label"].astype(np.uint8)
         if flags & 4 and n == batch_size:
