@@ -97,6 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Device batch size for the synchronous training step")
     g.add_argument("--fwt_platform", default=None,
                    help="Force a JAX platform (cpu/tpu); default: auto")
+    g.add_argument("--fwt_pack_cache", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="Cache the packed superbatch stream "
+                        "(<input>.fwpack) and replay it on re-runs over "
+                        "the same input+config: multipass/epoch re-reads "
+                        "skip parse/translate/fill/counts/pack entirely. "
+                        "auto = engage when -c is given (like the record "
+                        "cache); on = always; off = never")
     g.add_argument("--fwt_compile_cache", default=None, metavar="DIR",
                    help="Persistent XLA compilation cache directory "
                         "(skips recompiles across processes; also pins "

@@ -689,8 +689,44 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
             and (getattr(args, "fwt_vocab", "auto") or "auto") != "off"
             else None)
 
+        # pack cache (train/pack_cache.py): record the producer's queue
+        # stream on the first pass, replay it on re-runs over the same
+        # input+config — multipass/epoch re-reads skip parse, translate,
+        # fill, counts, vocab encoding, and packing. auto = engage with -c
+        # (the sibling record cache's own trigger).
+        pc_mode = (getattr(args, "fwt_pack_cache", "auto") or "auto")
+        pack_iter = None
+        pack_writer = None
+        if can_pack and pc_mode != "off" and (
+                pc_mode == "on" or bool(getattr(args, "cache", False))):
+            from . import pack_cache as pcache
+
+            ppath = pcache.pack_cache_path_for(args.data)
+            psig = pcache.stream_signature(
+                mi, vw, batch_size=batch_size, K=K, bitpack_on=bitpack_on,
+                vocab_on=vocab_state is not None, count_keys=count_keys,
+                cut_at=cut_at)
+            pack_iter = pcache.open_pack_cache(ppath, psig)
+            if pack_iter is not None:
+                log.info("using pack cache %s", ppath)
+            else:
+                try:
+                    pack_writer = pcache.PackCacheWriter(ppath, psig)
+                except OSError as e:
+                    log.warning("pack cache disabled (%s)", e)
+
         def producer():
+            pq = q
+            if pack_writer is not None:
+                from . import pack_cache as pcache
+
+                pq = pcache.RecordingQueue(q, pack_writer)
             try:
+                if pack_iter is not None:
+                    for item in pack_iter:
+                        pq.put(item)
+                    pq.put(None)
+                    return
                 group: list = []
                 glay = None
                 seen = 0
@@ -705,17 +741,17 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                             snap = packed_mod.export_vocab(
                                 vocab_state.venc, glay.vocabs[0])
                             vocab_state.venc.clear_dirty()
-                            q.put(("v", snap))
-                        q.put(("p",
-                               packed_mod.pack(glay, [g[1] for g in group]),
-                               glay, K * batch_size))
+                            pq.put(("v", snap))
+                        pq.put(("p",
+                                packed_mod.pack(glay, [g[1] for g in group]),
+                                glay, K * batch_size))
                     else:
                         # short tail: unpacked (a K'-sized packed step would
                         # compile a whole new program for one group) — use
                         # the ORIGINAL dicts: the stripped form is only
                         # meaningful through unpack_row's reconstruction
                         for orig, _slim in group:
-                            q.put(("s", orig, batch_size))
+                            pq.put(("s", orig, batch_size))
                     group, glay = [], None
 
                 for bd, n in native_batch_stream(args, mi, vw, batch_size,
@@ -745,12 +781,12 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                         if lay is not None:
                             group, glay = [(bd, slim)], lay
                         else:
-                            q.put(("s", bd, n))
+                            pq.put(("s", bd, n))
                     seen += n
                 flush_group()
-                q.put(None)
+                pq.put(None)
             except BaseException as e:  # noqa: BLE001 — re-raised downstream
-                q.put(e)
+                pq.put(e)
 
         def transferrer():
             try:
