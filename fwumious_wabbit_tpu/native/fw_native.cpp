@@ -437,6 +437,8 @@ void fwn_batch_counts(const int32_t* ids, const int8_t* mark,
   // per 32k x 13 batch, a large share of the counts pass)
   static thread_local std::vector<uint64_t> cur, nxt;
   static thread_local std::vector<size_t> hist;
+  constexpr int IDX_BITS = 28;  // entry = key<<28 | flat index: B*W up
+  // to 2^28 entries (a 32-bit key + 28-bit index fit u64)
   constexpr int B1 = 13;  // fixed low-digit width: 8K-bucket histogram
   // (64 KB, L2-resident) built DURING the key-build pass below — an
   // adaptive b1 would need `seen` first and cost one extra 8 B/entry read
@@ -457,7 +459,7 @@ void fwn_batch_counts(const int32_t* ids, const int8_t* mark,
     uint32_t key = uint32_t(ids[i]) >> shift;
     seen |= key;
     hist[(key & ((1u << B1) - 1)) + 1]++;
-    cur.push_back((uint64_t(key) << 24) | uint64_t(i));
+    cur.push_back((uint64_t(key) << IDX_BITS) | uint64_t(i));
   }
   size_t n = cur.size();
   if (nxt.size() < n) nxt.resize(n);
@@ -470,7 +472,7 @@ void fwn_batch_counts(const int32_t* ids, const int8_t* mark,
     uint64_t mask = buckets - 1;
     for (size_t b = 0; b < buckets; b++) hist[b + 1] += hist[b];
     for (size_t i = 0; i < n; i++)
-      nxt[hist[(cur[i] >> 24) & mask]++] = cur[i];
+      nxt[hist[(cur[i] >> IDX_BITS) & mask]++] = cur[i];
     cur.swap(nxt);
   }
   // pass 2: remaining high bits (hash ids are < 2^25 on typical configs,
@@ -481,19 +483,19 @@ void fwn_batch_counts(const int32_t* ids, const int8_t* mark,
     uint64_t mask = buckets - 1;
     hist.assign(buckets + 1, 0);
     for (size_t i = 0; i < n; i++)
-      hist[((cur[i] >> (24 + B1)) & mask) + 1]++;
+      hist[((cur[i] >> (IDX_BITS + B1)) & mask) + 1]++;
     for (size_t b = 0; b < buckets; b++) hist[b + 1] += hist[b];
     for (size_t i = 0; i < n; i++)
-      nxt[hist[(cur[i] >> (24 + B1)) & mask]++] = cur[i];
+      nxt[hist[(cur[i] >> (IDX_BITS + B1)) & mask]++] = cur[i];
     cur.swap(nxt);
   }
   // run-length counts over the sorted keys, written back via the index
   for (size_t s = 0; s < n;) {
-    uint64_t key = cur[s] >> 24;
+    uint64_t key = cur[s] >> IDX_BITS;
     size_t e = s + 1;
-    while (e < n && (cur[e] >> 24) == key) e++;
+    while (e < n && (cur[e] >> IDX_BITS) == key) e++;
     uint8_t c8 = encode_count(e - s);
-    for (size_t j = s; j < e; j++) out[cur[j] & 0xFFFFFF] = c8;
+    for (size_t j = s; j < e; j++) out[cur[j] & ((1u << IDX_BITS) - 1)] = c8;
     s = e;
   }
 }
