@@ -138,6 +138,11 @@ def host_only_probes(rows: int, args, mi, vw) -> dict:
     mpath = CACHE_DIR / "bench_model.fw"
     if mpath.exists():
         pruns = []
+        # one untimed warm pass first: the model file (268 MB at b=25) and
+        # the dataset enter the page cache — the timed train runs get the
+        # same treatment (the reference's numbers are steady-state too)
+        assert cli_main([*_base_argv(ensure_dataset(rows)), "-t",
+                         "-i", str(mpath)]) == 0
         for _ in range(3):
             t0 = _t.perf_counter()
             rc = cli_main([*_base_argv(ensure_dataset(rows)), "-t",
