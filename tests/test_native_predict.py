@@ -58,6 +58,22 @@ def test_native_predict_matches_device_engine(model_dir):
     np.testing.assert_allclose(a, b, atol=2.1e-6, rtol=0)
 
 
+def test_native_predict_gz_input_identical(model_dir, tmp_path):
+    """Compressed inputs stream through the same chunked predict path
+    (ingest/reader.py create_buffered_input) with identical predictions."""
+    import gzip
+
+    d, model = model_dir
+    gz = tmp_path / "test-hard.vw.gz"
+    gz.write_bytes(gzip.compress((d / "test-hard.vw").read_bytes()))
+    p1, p2 = d / "plain.preds", tmp_path / "gz.preds"
+    assert _cli(FLAGS + ["--data", str(d / "test-hard.vw"), "-t",
+                         "-i", str(model), "-p", str(p1)]) == 0
+    assert _cli(FLAGS + ["--data", str(gz), "-t",
+                         "-i", str(model), "-p", str(p2)]) == 0
+    assert p1.read_bytes() == p2.read_bytes()
+
+
 def test_native_predict_predictions_after(model_dir):
     d, model = model_dir
     pa, pf = d / "after.preds", d / "full.preds"
