@@ -100,6 +100,27 @@ def test_pack_cache_abort_never_publishes(tmp_path):
     assert not Path(str(bad) + ".fwpack.writing").exists()
 
 
+def test_pack_cache_on_without_dash_c(tmp_path, caplog):
+    """--fwt_pack_cache on engages without -c (no record cache involved)."""
+    _native_or_skip()
+    gen_dataset(tmp_path, n_train=3000, n_eval=10)
+    base = FLAGS + ["--data", str(tmp_path / "train.vw"),
+                    "--fwt_superbatch", "3", "--fwt_pack_cache", "on"]
+    run_cli(base + ["-p", str(tmp_path / "a.preds")])
+    assert Path(str(tmp_path / "train.vw") + ".fwpack").exists()
+    with caplog.at_level(logging.INFO):
+        run_cli(base + ["-p", str(tmp_path / "b.preds")])
+    assert any("using pack cache" in r.message for r in caplog.records)
+    assert (tmp_path / "a.preds").read_bytes() == \
+        (tmp_path / "b.preds").read_bytes()
+    # default auto without -c: neither records nor replays
+    (Path(str(tmp_path / "train.vw") + ".fwpack")).unlink()
+    run_cli(FLAGS + ["--data", str(tmp_path / "train.vw"),
+                     "--fwt_superbatch", "3",
+                     "-p", str(tmp_path / "c.preds")])
+    assert not Path(str(tmp_path / "train.vw") + ".fwpack").exists()
+
+
 def test_pack_cache_layout_roundtrip():
     """PackedLayout JSON round-trip preserves the signature exactly —
     replayed groups must hit the memoized compiled step."""
