@@ -590,7 +590,8 @@ class NativeIngest:
         oracle (train/loop.py np_counts) and the device path. Pass None
         when the values are known all-ones."""
         assert ids.dtype == np.int32 and mark.dtype == np.int8
-        assert ids.size < (1 << 24)  # entry index packed in 24 bits
+        assert ids.size < (1 << 28)  # entry index packed in 28 bits
+        # (fw_native.cpp fwn_batch_counts IDX_BITS)
         if vals is not None:
             assert vals.dtype == np.float32 and vals.size == ids.size
         out = np.zeros(ids.shape, np.uint8)

@@ -697,7 +697,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         pc_mode = (getattr(args, "fwt_pack_cache", "auto") or "auto")
         pack_iter = None
         pack_writer = None
-        if can_pack and pc_mode != "off" and (
+        if can_pack and pc_mode != "off" and os.path.isfile(args.data) and (
                 pc_mode == "on" or bool(getattr(args, "cache", False))):
             from . import pack_cache as pcache
 
@@ -705,7 +705,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
             psig = pcache.stream_signature(
                 mi, vw, batch_size=batch_size, K=K, bitpack_on=bitpack_on,
                 vocab_on=vocab_state is not None, count_keys=count_keys,
-                cut_at=cut_at)
+                cut_at=cut_at, data_path=args.data)
             pack_iter = pcache.open_pack_cache(ppath, psig)
             if pack_iter is not None:
                 log.info("using pack cache %s", ppath)
@@ -956,7 +956,11 @@ def configure_compile_cache(args=None) -> None:
     the compiler is run-to-run nondeterministic — the whole-step timing on
     this TPU measures bimodal between processes (CLAUDE.md); a shared
     cache freezes whichever compilation was cached first. `--fwt_compile_cache
-    off` (or FWT_COMPILE_CACHE=off) disables; CPU runs (tests) never cache."""
+    off` (or FWT_COMPILE_CACHE=off) disables; CPU runs (tests) never cache.
+    The platform must be KNOWN non-CPU before backend init (an init here
+    would defeat bench.py's host-only-first wedge ordering), so pure-auto
+    environments with no JAX_PLATFORMS hint skip the default — pass
+    --fwt_compile_cache DIR explicitly there."""
     import jax
 
     cache_dir = getattr(args, "fwt_compile_cache", None) if args else None
@@ -964,10 +968,12 @@ def configure_compile_cache(args=None) -> None:
         cache_dir = os.environ.get("FWT_COMPILE_CACHE")
     if cache_dir == "off":
         return
+    explicit = cache_dir is not None
     platform = getattr(args, "fwt_platform", None) if args else None
     if platform is None:
-        platform = jax.config.jax_platforms or ""
-    if "cpu" in str(platform):
+        platform = (jax.config.jax_platforms
+                    or os.environ.get("JAX_PLATFORMS") or "")
+    if "cpu" in str(platform) or (not str(platform) and not explicit):
         return
     if cache_dir is None:
         cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "fwt_xla")

@@ -18,11 +18,11 @@ bytes the first run enqueued (``tests/test_pack_cache.py``).
 File format (``<input>.fwpack``, little-endian):
 
   b"FWPK" | u32 version | u64 sig_len | sig (config-signature JSON)
-  then tagged items, ending with 'e':
+  then tagged items, ending with the 8-byte trailer "eFWPKEND":
     'v' : array                     (vocab snapshot, i32 [rows, 128])
     'p' : u64 gn | json (layout) | array (u32 [K, words] superbatch)
     's' : u64 n | u32 nkeys | nkeys * (u16 klen | key | array)
-    'e' : end marker (absent = truncated -> cache rejected)
+    trailer (absent = truncated -> cache rejected before any replay)
   array := u8 dtype_len | dtype_str | u8 ndim | ndim*u64 dims | raw bytes
 
 Written to ``.writing`` and atomically renamed on a clean end-of-stream,
@@ -48,6 +48,10 @@ log = get_logger(__name__)
 
 PACK_MAGIC = b"FWPK"
 PACK_VERSION = 1
+# 8-byte trailer: a 1-byte marker would false-pass on ~1/256 of truncation
+# points (array payload bytes are arbitrary); 'e' doubles as the item
+# loop's stop tag
+PACK_TRAILER = b"eFWPKEND"
 
 
 def pack_cache_path_for(input_path: str | Path) -> str:
@@ -55,12 +59,27 @@ def pack_cache_path_for(input_path: str | Path) -> str:
 
 
 def stream_signature(mi, vw, *, batch_size: int, K: int, bitpack_on: bool,
-                     vocab_on: bool, count_keys, cut_at) -> bytes:
-    """Everything that shapes the producer's queue stream, as stable JSON."""
+                     vocab_on: bool, count_keys, cut_at,
+                     data_path=None) -> bytes:
+    """Everything that shapes the producer's queue stream, as stable JSON.
+
+    Includes the SOURCE file's identity (size + mtime): a regenerated
+    dataset must invalidate the replay. (The record cache's identity —
+    whether it exists — is deliberately NOT included: with unchanged
+    source data, live-producing from text or from records yields the
+    same stream, so deleting only the .fwcache keeps the replay valid.)"""
+    src = None
+    if data_path is not None:
+        try:
+            st = os.stat(data_path)
+            src = [int(st.st_size), int(st.st_mtime_ns)]
+        except OSError:
+            src = "unstattable"
     sig = {
         "pack_version": PACK_VERSION,
         "mi": mi.to_json(),
         "vw": vw.to_source_json(),
+        "source": src,
         "batch_size": int(batch_size),
         "K": int(K),
         "bitpack": bool(bitpack_on),
@@ -166,7 +185,7 @@ class PackCacheWriter:
             raise ValueError(f"unknown stream item tag {tag!r}")
 
     def finish(self) -> None:
-        self._fh.write(b"e")
+        self._fh.write(PACK_TRAILER)
         self._fh.close()
         os.replace(self.tmp_path, self.final_path)
         self._fh = None
@@ -229,9 +248,9 @@ def open_pack_cache(path: str, sig: bytes):
         if _read_exact(fh, sig_len) != sig:
             raise ValueError("config signature mismatch")
         body_start = fh.tell()
-        fh.seek(-1, os.SEEK_END)
-        if fh.read(1) != b"e":
-            raise ValueError("missing end marker (truncated)")
+        fh.seek(-len(PACK_TRAILER), os.SEEK_END)
+        if fh.read(len(PACK_TRAILER)) != PACK_TRAILER:
+            raise ValueError("missing end trailer (truncated)")
         fh.seek(body_start)
     except (ValueError, OSError, struct.error) as e:
         log.warning("pack cache rejected (%s); using the live producer", e)

@@ -113,7 +113,7 @@ def main():
             lay = packed_mod.layout_of(slim, *spec)
             if lay is None or (glay is not None
                                and lay.signature != glay.signature):
-                group, glay = [slim], lay
+                group, glay = ([slim], lay) if lay is not None else ([], None)
                 continue
             glay = lay
             group.append(slim)

@@ -63,6 +63,24 @@ def test_pack_cache_stale_signature_falls_back(tmp_path, caplog):
         (tmp_path / "c.preds").read_bytes()
 
 
+def test_pack_cache_source_change_invalidates(tmp_path, caplog):
+    """Regenerating the dataset in place must invalidate the replay even
+    when the config is unchanged (source identity rides the signature)."""
+    _native_or_skip()
+    gen_dataset(tmp_path, n_train=3000, n_eval=10)
+    base = _base(tmp_path)
+    run_cli(base + ["-p", str(tmp_path / "a.preds")])
+    # different data, same path/config (and remove the record cache so the
+    # new text actually gets parsed)
+    gen_dataset(tmp_path, n_train=3000, n_eval=10, seed=9)
+    Path(str(tmp_path / "train.vw") + ".fwcache").unlink()
+    with caplog.at_level(logging.INFO):
+        run_cli(base + ["-p", str(tmp_path / "b.preds")])
+    assert not any("using pack cache" in r.message for r in caplog.records)
+    assert (tmp_path / "a.preds").read_bytes() != \
+        (tmp_path / "b.preds").read_bytes()
+
+
 def test_pack_cache_truncated_rejected(tmp_path, caplog):
     """A file without the end marker (crashed writer) is rejected before
     anything is replayed."""
@@ -78,7 +96,9 @@ def test_pack_cache_truncated_rejected(tmp_path, caplog):
     assert not any("using pack cache" in r.message for r in caplog.records)
     assert (tmp_path / "a.preds").read_bytes() == \
         (tmp_path / "b.preds").read_bytes()
-    assert fwpack.read_bytes()[-1:] == b"e"  # re-recorded cleanly
+    from fwumious_wabbit_tpu.train.pack_cache import PACK_TRAILER
+
+    assert fwpack.read_bytes().endswith(PACK_TRAILER)  # re-recorded cleanly
 
 
 def test_pack_cache_abort_never_publishes(tmp_path):
