@@ -147,6 +147,11 @@ def _configure_ffi(lib):
         ctypes.c_void_p, ctypes.c_char_p, i64, P(f32), i64, P(i64),
         P(ctypes.c_int32),
     ]
+    lib.fw_predict_block_mt.restype = i64
+    lib.fw_predict_block_mt.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, i64, P(f32), i64, P(i64),
+        P(ctypes.c_int32), ctypes.c_int32,
+    ]
 
 
 class EmbeddedPredictor:
@@ -213,6 +218,23 @@ class EmbeddedPredictor:
             self._ptr, buf, len(buf),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
             ctypes.byref(consumed), ctypes.byref(status))
+        return out[:n], consumed.value, status.value
+
+    def predict_block_mt(self, buf: bytes, threads: int | None = None):
+        """predict_block sharded across host threads (fw_ffi.cpp
+        predict_block_mt): weights shared, scratch per thread, identical
+        output order and stop-at-first-special-line semantics. Falls back
+        to the serial walk for small blocks or threads <= 1."""
+        if threads is None:
+            threads = max(1, min(8, (os.cpu_count() or 2) - 1))
+        cap = self._lib.fwn_count_byte(buf, len(buf), 10) + 1
+        out = np.empty(cap, np.float32)
+        consumed = ctypes.c_int64()
+        status = ctypes.c_int32()
+        n = self._lib.fw_predict_block_mt(
+            self._ptr, buf, len(buf),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+            ctypes.byref(consumed), ctypes.byref(status), threads)
         return out[:n], consumed.value, status.value
 
     def last_error(self) -> str:

@@ -28,6 +28,7 @@
 #include <cstdio>
 #include <memory>
 #include <set>
+#include <thread>
 #include <unordered_set>
 
 namespace {
@@ -846,6 +847,117 @@ struct Predictor {
     return n_out;
   }
 
+  // Multi-threaded bulk forward: shards the block's lines across `T`
+  // newline-aligned ranges, each walked by a lite context (weights
+  // shared via the Model shared_ptr, scratch private — same sharing
+  // shape as clone_lite). Output order and the stop-at-first-special-
+  // line contract match predict_block exactly: the earliest special
+  // line (empty / flush / hogwild_load / parse error) wins, its range's
+  // predictions stop there, later ranges are discarded. The reference's
+  // predict mode is single-core by design (src/main.rs:213-270); this
+  // scales the CLI predict path with host cores. Serial fallback for
+  // small blocks and for callers whose `cap` cannot hold every line
+  // (the capped-resume contract is only implemented serially).
+  int64_t predict_block_mt(const char* buf, int64_t len, float* out,
+                           int64_t cap, int64_t* consumed, int32_t* status,
+                           int32_t T) {
+    if (T <= 1 || len < (1 << 20))
+      return predict_block(buf, len, out, cap, consumed, status);
+    int64_t n_lines = 0;
+    for (const char* p = buf, *end = buf + len;
+         (p = static_cast<const char*>(
+              std::memchr(p, '\n', size_t(end - p)))) != nullptr;
+         p++)
+      n_lines++;
+    if (n_lines > cap)
+      return predict_block(buf, len, out, cap, consumed, status);
+
+    std::vector<std::pair<int64_t, int64_t>> ranges;
+    int64_t chunk = len / T + 1, s = 0;
+    while (s < len) {
+      int64_t e = s + chunk;
+      if (e >= len) {
+        e = len;
+      } else {
+        const void* nl = std::memchr(buf + e, '\n', size_t(len - e));
+        e = nl ? static_cast<const char*>(nl) - buf + 1 : len;
+      }
+      ranges.emplace_back(s, e);
+      s = e;
+    }
+    int R = int(ranges.size());
+    struct Part {
+      std::vector<float> preds;
+      int64_t consumed_end = 0;
+      int64_t ev_off = -1;
+      int32_t ev_status = 0;
+      std::string err;
+    };
+    size_t nparts = size_t(R);
+    std::vector<Part> parts(nparts);
+    auto work = [&](int r) {
+      auto [rs, re] = ranges[size_t(r)];
+      Predictor lite;
+      lite.model = model;
+      Part& P = parts[size_t(r)];
+      P.consumed_end = rs;
+      int64_t i = rs;
+      std::vector<uint32_t> rec;
+      std::string err;
+      while (i < re) {
+        const void* nl = std::memchr(buf + i, '\n', size_t(re - i));
+        if (!nl) break;  // partial tail line (last range only)
+        int64_t j = static_cast<const char*>(nl) - buf;
+        rec.clear();
+        LineKind kind = parse_line(
+            model->cfg, reinterpret_cast<const uint8_t*>(buf + i),
+            size_t(j - i), rec, err);
+        if (kind != LineKind::Example) {
+          P.ev_off = i;
+          P.ev_status = kind == LineKind::Empty    ? 1
+                        : kind == LineKind::Flush ? 2
+                        : kind == LineKind::HogwildLoad ? 3 : 4;
+          P.err = err;
+          return;
+        }
+        lite.sh.clear();
+        translate_record(model->cfg, rec.data(), model->formats, lite.sh,
+                         false);
+        lite.sh.lr_start.push_back(int32_t(lite.sh.lr_ids.size()));
+        lite.sh.ffm_start.push_back(int32_t(lite.sh.ffm_ids.size()));
+        P.preds.push_back(lite.forward_translated());
+        i = j + 1;
+        P.consumed_end = i;
+      }
+    };
+    std::vector<std::thread> ts;
+    ts.reserve(size_t(R));
+    for (int r = 0; r < R; r++) ts.emplace_back(work, r);
+    for (auto& t : ts) t.join();
+
+    // ranges are byte-ordered, a range stops at its first special line,
+    // so the FIRST range reporting an event holds the earliest one
+    int ev_r = -1;
+    for (int r = 0; r < R; r++)
+      if (parts[size_t(r)].ev_off >= 0) {
+        ev_r = r;
+        break;
+      }
+    int64_t n_out = 0;
+    int last_r = ev_r >= 0 ? ev_r : R - 1;
+    for (int r = 0; r <= last_r; r++)
+      for (float v : parts[size_t(r)].preds) out[n_out++] = v;
+    if (ev_r >= 0) {
+      *consumed = parts[size_t(ev_r)].ev_off;
+      *status = parts[size_t(ev_r)].ev_status;
+      if (*status == 4) g_last_error = parts[size_t(ev_r)].err;
+    } else {
+      *consumed = parts[size_t(R - 1)].consumed_end;
+      *status = 0;
+    }
+    return n_out;
+  }
+
   float setup_cache(const std::string& line) {
     const Model& m = *model;
     cache.active = false;
@@ -1053,6 +1165,19 @@ int64_t fw_predict_block(void* ptr, const char* buf, int64_t len, float* out,
   }
   return static_cast<Predictor*>(ptr)->predict_block(buf, len, out, cap,
                                                      consumed, status);
+}
+
+int64_t fw_predict_block_mt(void* ptr, const char* buf, int64_t len,
+                            float* out, int64_t cap, int64_t* consumed,
+                            int32_t* status, int32_t threads) {
+  if (!ptr || !buf || !out || !consumed || !status) {
+    if (status) *status = 4;
+    if (consumed) *consumed = 0;
+    g_last_error = "fw_predict_block_mt: null argument";
+    return 0;
+  }
+  return static_cast<Predictor*>(ptr)->predict_block_mt(
+      buf, len, out, cap, consumed, status, threads);
 }
 
 void free_predictor(void* ptr) { delete static_cast<Predictor*>(ptr); }

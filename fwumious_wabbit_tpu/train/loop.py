@@ -380,7 +380,7 @@ def run_native_predict(args, pred=None) -> dict:
                 buf, at_eof = tail + b"\n", True
             else:
                 buf, at_eof = tail + raw, False
-            preds, consumed, status = pred.predict_block(buf)
+            preds, consumed, status = pred.predict_block_mt(buf)
             tail = buf[consumed:]
             if preds.size:
                 first_num = n_done + 1

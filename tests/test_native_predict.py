@@ -58,6 +58,38 @@ def test_native_predict_matches_device_engine(model_dir):
     np.testing.assert_allclose(a, b, atol=2.1e-6, rtol=0)
 
 
+def test_predict_block_mt_identical(model_dir):
+    """fw_predict_block_mt: thread-sharded block prediction must match the
+    serial walk exactly — same predictions in order, same consumed/status —
+    including a mid-buffer end-of-stream (empty line), where the earliest
+    special line wins and later ranges are discarded."""
+    import numpy as np
+
+    d, model = model_dir
+    pred = native.EmbeddedPredictor(f"-i {model}")
+    try:
+        # replicate the small train file into a >1 MB block so the MT
+        # path engages (it falls back to serial below 1 MB)
+        base_buf = (d / "train.vw").read_bytes()
+        buf = base_buf * (((1 << 20) // len(base_buf)) + 2)
+        p1, c1, s1 = pred.predict_block(buf)
+        assert p1.size > 4000
+        for T in (2, 5):
+            p2, c2, s2 = pred.predict_block_mt(buf, threads=T)
+            assert (c1, s1) == (c2, s2)
+            np.testing.assert_array_equal(p1, p2)
+        # earliest special line wins: empty line spliced mid-buffer
+        cut = buf.rfind(b"\n", 0, len(buf) // 2) + 1
+        ebuf = buf[:cut] + b"\n" + buf[cut:]
+        p1, c1, s1 = pred.predict_block(ebuf)
+        p2, c2, s2 = pred.predict_block_mt(ebuf, threads=4)
+        assert s1 == s2 == native.EmbeddedPredictor.BLOCK_EOF
+        assert c1 == c2
+        np.testing.assert_array_equal(p1, p2)
+    finally:
+        pred.close()
+
+
 def test_native_predict_gz_input_identical(model_dir, tmp_path):
     """Compressed inputs stream through the same chunked predict path
     (ingest/reader.py create_buffered_input) with identical predictions."""
