@@ -135,6 +135,57 @@ def host_only_probes(rows: int, args, mi, vw) -> dict:
             break
     out["host_ingest_ex_s"] = round(count / (_t.perf_counter() - t0))
 
+    # pack-cache replay: the producer stream's record/replay rate
+    # (train/pack_cache.py) — cache-train re-runs are floored by
+    # transfer+step only when this dwarfs the live producer rate
+    try:
+        from fwumious_wabbit_tpu.train import packed as _packed
+        from fwumious_wabbit_tpu.train import pack_cache as _pc
+
+        psig = b"bench-replay-probe"
+        ppath = str(CACHE_DIR / "replay_probe.fwpack")
+        w = _pc.PackCacheWriter(ppath, psig)
+        vstate = _packed.VocabTransferState()
+        staged = 0
+        group: list = []
+        glay = None
+        for bd, k in native_batch_stream(args, mi, vw, 32768,
+                                         count_keys={"lr": 0}):
+            if k != 32768:
+                break
+            slim, *spec = _packed.prepare_for_transfer(
+                bd, mi, vocab_state=vstate)
+            lay = _packed.layout_of(slim, *spec)
+            if lay is None:
+                break
+            if glay is not None and lay.signature != glay.signature:
+                group = []
+            glay = lay
+            group.append(slim)
+            if len(group) == 4:  # probe-size groups: the replay rate
+                # does not depend on K, and small --rows must still
+                # yield at least one group
+                w.put(("p", _packed.pack(glay, group), glay, 4 * 32768))
+                group = []
+                staged += 4 * 32768
+                if staged >= 16 * 32768:
+                    break
+        w.finish()
+        vstate.close()
+        if staged:
+            best = float("inf")
+            for _ in range(3):
+                t0 = _t.perf_counter()
+                m = 0
+                for item in _pc.open_pack_cache(ppath, psig):
+                    if item[0] == "p":
+                        m += item[3]
+                best = min(best, _t.perf_counter() - t0)
+            out["pack_replay_ex_s"] = round(m / best)
+        os.unlink(ppath)
+    except Exception as e:  # noqa: BLE001
+        print(f"# pack-replay probe failed: {e}", file=sys.stderr)
+
     mpath = CACHE_DIR / "bench_model.fw"
     if mpath.exists():
         pruns = []
