@@ -35,10 +35,13 @@ from ..ingest import cache as fwcache
 from ..ingest.parser import FlushCommand, HogwildLoadCommand, VowpalParser
 from ..ingest.reader import create_buffered_input
 from ..ingest.translator import Batcher, FeatureTranslator
-from ..models.model import FwModel
-from ..persistence import model_file
-from ..train.step import make_predict_step, make_train_step
 from ..utils.logging import get_logger
+
+# NOTE: models.model / train.step / persistence.model_file import jax and
+# are imported lazily at their use sites — the embedded-engine predict
+# path (run_native_predict) and --help must not pay the jax import
+# (~1-2 s of a cold CLI predict's wall clock; the reference's binary
+# starts in milliseconds)
 
 log = get_logger(__name__)
 
@@ -417,6 +420,8 @@ def _use_native(args, mi) -> bool:
 def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                    params=None) -> dict:
     """The main train/predict loop. Returns {'params', 'examples', 'elapsed'}."""
+    from ..train.step import make_predict_step, make_train_step
+
     testonly = bool(getattr(args, "testonly", False))
     batch_size = max(1, int(getattr(args, "fwt_batch_size", 1024) or 1024))
     if getattr(args, "fwt_exact", False):
@@ -960,9 +965,9 @@ def configure_compile_cache(args=None) -> None:
     The platform must be KNOWN non-CPU before backend init (an init here
     would defeat bench.py's host-only-first wedge ordering), so pure-auto
     environments with no JAX_PLATFORMS hint skip the default — pass
-    --fwt_compile_cache DIR explicitly there."""
-    import jax
-
+    --fwt_compile_cache DIR explicitly there. jax itself is only imported
+    when the cache actually engages (the native predict path must stay
+    jax-free, see the lazy-import note at the top of this module)."""
     cache_dir = getattr(args, "fwt_compile_cache", None) if args else None
     if cache_dir is None:
         cache_dir = os.environ.get("FWT_COMPILE_CACHE")
@@ -971,13 +976,17 @@ def configure_compile_cache(args=None) -> None:
     explicit = cache_dir is not None
     platform = getattr(args, "fwt_platform", None) if args else None
     if platform is None:
-        platform = (jax.config.jax_platforms
-                    or os.environ.get("JAX_PLATFORMS") or "")
+        platform = ""
+        if "jax" in sys.modules:  # in-process config (tests) wins over env
+            platform = sys.modules["jax"].config.jax_platforms or ""
+        platform = platform or os.environ.get("JAX_PLATFORMS") or ""
     if "cpu" in str(platform) or (not str(platform) and not explicit):
         return
     if cache_dir is None:
         cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "fwt_xla")
     try:
+        import jax
+
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -1035,6 +1044,7 @@ def main(argv=None) -> int:
             # (or its client threads) initializes is unsafe
             # (reference daemonizes the same way, src/serving.rs:215-225)
             _daemonize()
+        from ..persistence import model_file
         from ..serve.server import Serving
 
         mi, vw, model, params = model_file.load_model(
@@ -1049,6 +1059,8 @@ def main(argv=None) -> int:
         if not args.initial_regressor:
             log.error("Convert mode requires --initial_regressor")
             return 1
+        from ..persistence import model_file
+
         mi, vw, model, params = model_file.load_model(
             args.initial_regressor, immutable=True, args=args
         )
@@ -1080,6 +1092,9 @@ def main(argv=None) -> int:
                     return 1
 
     # -- vwmap + model config -------------------------------------------------
+    from ..models.model import FwModel
+    from ..persistence import model_file
+
     if args.initial_regressor:
         mi, vw, model, params = model_file.load_model(
             args.initial_regressor, immutable=args.testonly, args=args
