@@ -38,8 +38,11 @@ import numpy as np
 
 from ..config.model_instance import ModelInstance, Optimizer
 from ..config.vwmap import VwNamespaceMap
-from ..models.model import FwModel
 from . import quantization
+
+# models.model (FwModel) imports jax and is imported lazily in the
+# functions that build models — read_header() and this module's import
+# must stay jax-free for the native-engine serving/predict cold path
 
 MAGIC = b"FWRE"
 VERSION = 6
@@ -187,6 +190,8 @@ def load_model(
             args is not None and getattr(args, "convert_inference_regressor", None)
         )
 
+        from ..models.model import FwModel
+
         saved_model = FwModel(mi)  # structure as saved (for state layout)
         has_state = saved_model.opt_lr.has_state
         params = {}
@@ -230,6 +235,8 @@ def load_model(
 
     if immutable:
         mi.optimizer = Optimizer.SGD
+    from ..models.model import FwModel
+
     model = FwModel(
         mi,
         batch_mean_mode=(getattr(args, "fwt_batch_mean", "auto") or "auto")
@@ -260,7 +267,25 @@ def load_model(
     return mi, vw, model, params
 
 
-def hogwild_load(path: str | Path, model: FwModel, immutable: bool):
+def read_header(path: str | Path):
+    """Read only the embedded (vwmap, model-instance) configs — no
+    weights, no jax (the native-engine serving path needs the namespace
+    map for parse-error replies without loading the device model)."""
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+        if magic != MAGIC:
+            raise ValueError("Model file does not begin with magic bytes FWRE")
+        (version,) = struct.unpack("<I", fh.read(4))
+        if version != VERSION:
+            raise ValueError(
+                f"Model file version of this binary: {VERSION}, "
+                f"version of the file: {version}")
+        vw = VwNamespaceMap.from_source_json(_read_chunk(fh).decode())
+        mi = ModelInstance.from_json(_read_chunk(fh).decode())
+    return mi, vw
+
+
+def hogwild_load(path: str | Path, model: "FwModel", immutable: bool):
     """Hot-swap weights from a model file into a running configuration
     (reference: src/persistence.rs:176-186). Returns new params."""
     _mi, _vw, _model, params = load_model(path, immutable=immutable)

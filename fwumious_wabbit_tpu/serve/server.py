@@ -34,8 +34,12 @@ import numpy as np
 from ..ingest.parser import FlushCommand, HogwildLoadCommand, ParseError, VowpalParser
 from ..ingest.translator import Batcher, FeatureTranslator
 from ..persistence import model_file
-from ..train.step import make_predict_step
 from ..utils.logging import get_logger
+
+# train.step imports jax and is imported lazily (SharedPredictor) — a
+# native-engine-only daemon must not load jax or the device model at all
+# (the reference's daemon runs at about half the training memory,
+# persistence.rs:159-173; holding an unused device copy would double ours)
 
 log = get_logger(__name__)
 
@@ -44,6 +48,8 @@ class SharedPredictor:
     """Holds the jitted predict step + hot-swappable params."""
 
     def __init__(self, mi, model, params, batch_size: int = 256):
+        from ..train.step import make_predict_step
+
         self.mi = mi
         self.model = model
         self._params = params
@@ -141,7 +147,8 @@ class _Handler(socketserver.StreamRequestHandler):
                 try:
                     if native_pred is not None:
                         native_pred.hogwild_load(cmd.filename)
-                    server.predictor.hogwild_load(cmd.filename)
+                    if server.predictor is not None:
+                        server.predictor.hogwild_load(cmd.filename)
                     out.write(b"hogwild_load success\n")
                     out.flush()
                 except Exception as e:  # noqa: BLE001
@@ -209,7 +216,13 @@ class Serving:
         self.vw = vw
         self.port = int(getattr(args, "port", None) or 26542)
         self.num_children = int(getattr(args, "num_children", None) or 10)
-        self.predictor = SharedPredictor(mi, model, params)
+        # model/params may be None when the caller already knows the native
+        # engine will serve (main's jax-free daemon startup): the device
+        # model is then never loaded — the reference's daemon runs at about
+        # half the training memory (persistence.rs:159-173) and holding an
+        # unused device copy would double ours
+        self.predictor = (SharedPredictor(mi, model, params)
+                          if model is not None else None)
         # the C++ engine serves single lines in microseconds; prefer it when
         # available unless --fwt_serve_engine device is forced
         self.native_predictor = None
@@ -222,6 +235,9 @@ class Serving:
                 if engine == "native":
                     raise
                 log.warning("native serving engine unavailable (%s); using device", e)
+        if self.predictor is None and self.native_predictor is None:
+            raise RuntimeError(
+                "native-only serving requested but the engine failed to load")
         self._server = None
 
     def serve(self, host: str = "127.0.0.1") -> None:

@@ -1047,6 +1047,23 @@ def main(argv=None) -> int:
         from ..persistence import model_file
         from ..serve.server import Serving
 
+        engine = getattr(args, "fwt_serve_engine", "auto") or "auto"
+        if engine in ("auto", "native"):
+            # native-engine-first startup: the C++ engine loads the model
+            # itself; jax and the device model are never touched (about
+            # half the memory, reference persistence.rs:159-173, and no
+            # backend init in the daemon)
+            try:
+                mi, vw = model_file.read_header(args.initial_regressor)
+                Serving(args, mi, vw, None, None,
+                        model_path=args.initial_regressor).serve()
+                return 0
+            except Exception as e:  # noqa: BLE001
+                if engine == "native":
+                    log.error("native serving engine failed: %s", e)
+                    return 1
+                log.warning("native serving unavailable (%s); "
+                            "loading the device model", e)
         mi, vw, model, params = model_file.load_model(
             args.initial_regressor, immutable=True, args=args
         )
