@@ -189,15 +189,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "45 → ~25 B/example on the b=25 benchmark schema; "
                         "trajectory identical. auto = on")
     g.add_argument("--fwt_fetch_stack", type=int, default=0, metavar="M",
-                   help="EXPERIMENTAL: write each packed step's predictions "
-                        "into a device-resident [M, K, B] ring inside the "
-                        "step program and fetch the ring once per M "
+                   help="Write each packed step's predictions into a "
+                        "device-resident [M, K, B] ring inside the step "
+                        "program and fetch the ring once per M "
                         "superbatches — M× fewer device→host fetch RPCs "
                         "with zero extra dispatches. Pure transfer "
                         "plumbing — written predictions are identical. "
-                        "0 = auto (currently off pending a measured win; "
-                        "per-step async fetches overlap fine in good "
-                        "tunnel windows), 1 = off")
+                        "0 = auto (default): per-step async fetches until "
+                        "a fetch measures slow (FWT_RING_AUTO_MS, default "
+                        "250 ms — the degraded-link signature), then the "
+                        "ring engages at M=4. 1 = never")
     return p
 
 

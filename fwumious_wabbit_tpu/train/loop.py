@@ -546,6 +546,10 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     _wq: _queue.Queue = _queue.Queue(maxsize=PIPELINE_DEPTH)
     _werr: list = []
 
+    # last prediction-fetch force duration, written by the writer thread,
+    # read by the packed consumer's adaptive ring engagement (below)
+    _fetch_stats = {"last_ms": 0.0}
+
     def _pred_writer():
         try:
             while (item := _wq.get()) is not None:
@@ -553,7 +557,9 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 # ONE host fetch per item: [B] from a single step, [K, B]
                 # from a packed one, or [M, K, B] from a fetch-stack — the
                 # metas list maps leading rows back to example segments.
+                _t0 = time.perf_counter()
                 arr = np.asarray(preds)
+                _fetch_stats["last_ms"] = (time.perf_counter() - _t0) * 1e3
                 if len(metas) > 1:
                     arr = arr.reshape(arr.shape[0], -1)
                     for i, (first_num, n) in enumerate(metas):
@@ -828,9 +834,17 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         # measured with-`-p` collapses to 75–151k ex/s while no-`-p` runs
         # 399–506k.)
         M = int(getattr(args, "fwt_fetch_stack", 0) or 0)
+        auto_ring = M == 0 and writer.active
         if M <= 0:
-            M = 1
-        use_ring = M > 1 and writer.active
+            M = 4 if auto_ring else 1
+        use_ring = M > 1 and writer.active and not auto_ring
+        # auto (the default): start with per-step async fetches (they
+        # overlap fine in good tunnel windows) and engage the ring when a
+        # prediction fetch measures slow — the bad-window signature, where
+        # fetch RPCs head-of-line-block the uplink and throughput
+        # collapses 3-5x. A normal [K, B] fetch is well under 100 ms; the
+        # threshold sits safely above that. One-way switch.
+        ring_auto_ms = float(os.environ.get("FWT_RING_AUTO_MS", "250"))
         _ring = None          # device [M, K, B] f32
         _ring_metas: list = []  # (first_num, n) per written slot
 
@@ -858,6 +872,14 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 first_num = example_num + 1
                 example_num += gn
                 vargs = (_vocab,) if lay.vocabs else ()
+                if auto_ring and not use_ring \
+                        and _fetch_stats["last_ms"] > ring_auto_ms:
+                    use_ring = True
+                    log.info(
+                        "prediction fetch measured %.0f ms (> %.0f): "
+                        "engaging the device fetch ring (M=%d, one D2H "
+                        "per %d superbatches)",
+                        _fetch_stats["last_ms"], ring_auto_ms, M, M)
                 if use_ring:
                     ring_fn = packed_mod.make_packed_train_step_ring(
                         model, lay, K, M)

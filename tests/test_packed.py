@@ -143,6 +143,28 @@ def test_fetch_stack_identical_predictions(tmp_path, mflag):
     assert m1.read_bytes() == m2.read_bytes()
 
 
+def test_fetch_stack_auto_engages_identical(tmp_path, monkeypatch):
+    """auto mode (--fwt_fetch_stack 0): a slow fetch flips the consumer to
+    the ring MID-RUN. Forced here via FWT_RING_AUTO_MS=-1 (every fetch
+    counts as slow); the written predictions and model must be identical
+    to the never-ring run."""
+    from fwumious_wabbit_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+
+    gen_dataset(tmp_path, n_train=5000, n_eval=10)
+    base = FLAGS + ["--data", str(tmp_path / "train.vw"), "--save_resume",
+                    "--fwt_superbatch", "3"]
+    p1, m1 = tmp_path / "a.preds", tmp_path / "a.model"
+    p2, m2 = tmp_path / "b.preds", tmp_path / "b.model"
+    run_cli(base + ["-p", str(p1), "-f", str(m1), "--fwt_fetch_stack", "1"])
+    monkeypatch.setenv("FWT_RING_AUTO_MS", "-1")
+    run_cli(base + ["-p", str(p2), "-f", str(m2)])  # default 0 = auto
+    assert p1.read_text() == p2.read_text()
+    assert m1.read_bytes() == m2.read_bytes()
+
+
 def test_fetch_stack_with_predictions_after(tmp_path):
     """predictions_after slicing applies per stacked segment, not per fetch."""
     from fwumious_wabbit_tpu import native
