@@ -138,12 +138,13 @@ def host_only_probes(rows: int, args, mi, vw) -> dict:
     # pack-cache replay: the producer stream's record/replay rate
     # (train/pack_cache.py) — cache-train re-runs are floored by
     # transfer+step only when this dwarfs the live producer rate
+    w = vstate = None
+    ppath = str(CACHE_DIR / "replay_probe.fwpack")
     try:
         from fwumious_wabbit_tpu.train import packed as _packed
         from fwumious_wabbit_tpu.train import pack_cache as _pc
 
         psig = b"bench-replay-probe"
-        ppath = str(CACHE_DIR / "replay_probe.fwpack")
         w = _pc.PackCacheWriter(ppath, psig)
         vstate = _packed.VocabTransferState()
         staged = 0
@@ -171,7 +172,7 @@ def host_only_probes(rows: int, args, mi, vw) -> dict:
                 if staged >= 16 * 32768:
                     break
         w.finish()
-        vstate.close()
+        w = None
         if staged:
             best = float("inf")
             for _ in range(3):
@@ -182,9 +183,17 @@ def host_only_probes(rows: int, args, mi, vw) -> dict:
                         m += item[3]
                 best = min(best, _t.perf_counter() - t0)
             out["pack_replay_ex_s"] = round(m / best)
-        os.unlink(ppath)
     except Exception as e:  # noqa: BLE001
         print(f"# pack-replay probe failed: {e}", file=sys.stderr)
+    finally:
+        if w is not None:
+            w.abort()
+        if vstate is not None:
+            vstate.close()
+        try:
+            os.unlink(ppath)
+        except OSError:
+            pass
 
     mpath = CACHE_DIR / "bench_model.fw"
     if mpath.exists():

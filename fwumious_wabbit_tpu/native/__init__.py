@@ -210,21 +210,15 @@ class EmbeddedPredictor:
         partial line is left unconsumed for the caller to carry into the
         next chunk. This is the CLI predict (-t) hot loop — one C call per
         multi-MB chunk instead of one per line."""
-        cap = self._lib.fwn_count_byte(buf, len(buf), 10) + 1
-        out = np.empty(cap, np.float32)
-        consumed = ctypes.c_int64()
-        status = ctypes.c_int32()
-        n = self._lib.fw_predict_block(
-            self._ptr, buf, len(buf),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
-            ctypes.byref(consumed), ctypes.byref(status))
-        return out[:n], consumed.value, status.value
+        return self.predict_block_mt(buf, threads=1)
 
     def predict_block_mt(self, buf: bytes, threads: int | None = None):
         """predict_block sharded across host threads (fw_ffi.cpp
         predict_block_mt): weights shared, scratch per thread, identical
-        output order and stop-at-first-special-line semantics. Falls back
-        to the serial walk for small blocks or threads <= 1."""
+        output order and stop-at-first-special-line semantics. The C side
+        falls back to the serial walk for small blocks or threads <= 1,
+        so this is also predict_block's implementation (one marshalling
+        body)."""
         if threads is None:
             threads = max(1, min(8, (os.cpu_count() or 2) - 1))
         cap = self._lib.fwn_count_byte(buf, len(buf), 10) + 1

@@ -172,16 +172,7 @@ def load_model(
     the config to SGD — the serving/inference path
     (reference: src/persistence.rs:127-174)."""
     with open(path, "rb") as fh:
-        magic = fh.read(4)
-        if magic != MAGIC:
-            raise ValueError("Model file does not begin with magic bytes FWRE")
-        (version,) = struct.unpack("<I", fh.read(4))
-        if version != VERSION:
-            raise ValueError(
-                f"Model file version of this binary: {VERSION}, version of the file: {version}"
-            )
-        vw = VwNamespaceMap.from_source_json(_read_chunk(fh).decode())
-        mi = ModelInstance.from_json(_read_chunk(fh).decode())
+        mi, vw = _read_header_fh(fh)
         if args is not None:
             mi.update_hyperparameters_from_cmd(args)
         (_total,) = struct.unpack("<Q", fh.read(8))
@@ -267,22 +258,29 @@ def load_model(
     return mi, vw, model, params
 
 
+def _read_header_fh(fh):
+    """Magic/version check + the two embedded config JSONs; leaves ``fh``
+    positioned at the weights total. Shared by load_model and
+    read_header so a header change lands in exactly one place."""
+    magic = fh.read(4)
+    if magic != MAGIC:
+        raise ValueError("Model file does not begin with magic bytes FWRE")
+    (version,) = struct.unpack("<I", fh.read(4))
+    if version != VERSION:
+        raise ValueError(
+            f"Model file version of this binary: {VERSION}, version of the file: {version}"
+        )
+    vw = VwNamespaceMap.from_source_json(_read_chunk(fh).decode())
+    mi = ModelInstance.from_json(_read_chunk(fh).decode())
+    return mi, vw
+
+
 def read_header(path: str | Path):
     """Read only the embedded (vwmap, model-instance) configs — no
     weights, no jax (the native-engine serving path needs the namespace
     map for parse-error replies without loading the device model)."""
     with open(path, "rb") as fh:
-        magic = fh.read(4)
-        if magic != MAGIC:
-            raise ValueError("Model file does not begin with magic bytes FWRE")
-        (version,) = struct.unpack("<I", fh.read(4))
-        if version != VERSION:
-            raise ValueError(
-                f"Model file version of this binary: {VERSION}, "
-                f"version of the file: {version}")
-        vw = VwNamespaceMap.from_source_json(_read_chunk(fh).decode())
-        mi = ModelInstance.from_json(_read_chunk(fh).decode())
-    return mi, vw
+        return _read_header_fh(fh)
 
 
 def hogwild_load(path: str | Path, model: "FwModel", immutable: bool):

@@ -842,9 +842,14 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         # overlap fine in good tunnel windows) and engage the ring when a
         # prediction fetch measures slow — the bad-window signature, where
         # fetch RPCs head-of-line-block the uplink and throughput
-        # collapses 3-5x. A normal [K, B] fetch is well under 100 ms; the
-        # threshold sits safely above that. One-way switch.
-        ring_auto_ms = float(os.environ.get("FWT_RING_AUTO_MS", "250"))
+        # collapses 3-5x (per-item stalls of 2-3 s). The writer's force
+        # also waits on STEP COMPLETION (only a fetch forces completion
+        # on this platform), so the threshold must clear the heaviest
+        # known per-superbatch compute (~400 ms at a 2^29 table) or a
+        # compute-bound config would spuriously engage; a false engage
+        # costs only one extra compile + <~4%, a missed engage costs
+        # 3-5x, hence one-way and generous. One-way switch.
+        ring_auto_ms = float(os.environ.get("FWT_RING_AUTO_MS", "1000"))
         _ring = None          # device [M, K, B] f32
         _ring_metas: list = []  # (first_num, n) per written slot
 
@@ -1074,18 +1079,24 @@ def main(argv=None) -> int:
             # native-engine-first startup: the C++ engine loads the model
             # itself; jax and the device model are never touched (about
             # half the memory, reference persistence.rs:159-173, and no
-            # backend init in the daemon)
+            # backend init in the daemon). Only STARTUP failures fall back
+            # to the device engine — serve() runs outside the try so a
+            # runtime error (e.g. port already bound) propagates instead
+            # of being misread as "native unavailable".
+            serving = None
             try:
                 mi, vw = model_file.read_header(args.initial_regressor)
-                Serving(args, mi, vw, None, None,
-                        model_path=args.initial_regressor).serve()
-                return 0
+                serving = Serving(args, mi, vw, None, None,
+                                  model_path=args.initial_regressor)
             except Exception as e:  # noqa: BLE001
                 if engine == "native":
                     log.error("native serving engine failed: %s", e)
                     return 1
                 log.warning("native serving unavailable (%s); "
                             "loading the device model", e)
+            if serving is not None:
+                serving.serve()
+                return 0
         mi, vw, model, params = model_file.load_model(
             args.initial_regressor, immutable=True, args=args
         )

@@ -174,9 +174,11 @@ assert ll > 0.55, ll  # sanity: not degenerate/leaked
 EOF4
 G4=$?
 set -e
-if [ "$G4" -ne 0 ]; then
-    # device unreachable or run killed: fall back to the persisted result
-    # of the last successful full-scale run (fails if none, or off-gate)
+if [ "$G4" -eq 124 ] || [ "$G4" -eq 137 ]; then
+    # timeout-killed (device unreachable): fall back to the persisted
+    # result of the last successful full-scale run (fails if none, or
+    # off-gate). Any OTHER nonzero exit is a real failure and must fail
+    # the gate — the fallback must not mask code regressions.
     python - <<'EOF5'
 import json
 d = json.load(open('/root/repo/.bench_cache/eat_rate_10m.json'))
@@ -185,5 +187,8 @@ print(f"gate 4 DEVICE RUN UNAVAILABLE — using persisted full-scale result "
       f"from {d['timestamp']}: test logloss {ll} vs reference 0.6370")
 assert ll <= 0.6420, ll
 EOF5
+elif [ "$G4" -ne 0 ]; then
+    echo "gate 4 FAILED (exit $G4, not a device timeout)"
+    exit "$G4"
 fi
 echo "ALL GATES PASSED (incl. 10M-row learning parity)"
