@@ -62,9 +62,16 @@ def worth_it(num_rows: int, num_updates: int) -> bool:
     """Static auto-dispatch rule (see SPARSE_UPDATE_NOTES.md for the
     measurements): the sweep wins 1.4–11× for tables ≥ 2^26 flat floats
     down to ~0.8% row density (its cost is table-bound, XLA's is
-    update-bound — crossover at 2^29 measured near K ≈ rows/128), and ties
-    at 2^25."""
-    return num_rows >= (1 << 26) // LANE and num_updates * 128 >= num_rows
+    update-bound — crossover at 2^29 measured near K ≈ rows/128).
+
+    2^25 tables at large K are a measured TIE against XLA's *fast* scatter
+    mode (sweep 10.7 ms vs 10.3 ms at K=196k) — but XLA's scatter emission
+    is bimodal per process (~2× slow mode, SPARSE_UPDATE_NOTES.md), so the
+    deterministic sweep is the better expected value once enough updates
+    amortize the table pass (K ≥ 2^17)."""
+    if num_rows >= (1 << 26) // LANE:
+        return num_updates * 128 >= num_rows
+    return num_rows >= (1 << 25) // LANE and num_updates >= (1 << 17)
 
 
 def _pow_mpt(x, power_t: float):

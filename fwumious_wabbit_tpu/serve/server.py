@@ -11,10 +11,13 @@ Design differences from the reference, TPU-motivated:
 * worker threads share one params pytree on device (JAX arrays are immutable
   and thread-safe to read; a hogwild_load just swaps the reference —
   in-flight predictions keep their snapshot);
-* per-connection prediction is micro-batched: all lines available on the
-  socket at once are predicted in one device call (the TPU analogue of the
-  reference's per-line loop — the batched step amortizes dispatch overhead
-  across candidates in a request).
+* per-connection prediction is drain-and-reply micro-batched (``_Handler``):
+  all complete lines already buffered on the socket are processed as one
+  unit — device-path examples batch into one predict call and the replies
+  for a burst coalesce into one ``send`` — so a pipelined client pays one
+  device dispatch + one reply syscall per burst instead of per line. A
+  lone-line request sees no added latency: replies are sent the moment the
+  input buffer has no complete line left, before blocking on ``recv``.
 
 ``--foreground`` keeps the process attached; otherwise the CLI daemonizes
 by classic double-fork BEFORE any JAX backend initialization (forking after
@@ -103,7 +106,19 @@ class NativeSharedPredictor:
             return self._proto.clone_lite(), self.generation
 
 
+_BULK_CHUNK = 4096  # device-path examples per predict call on a drained burst
+
+
 class _Handler(socketserver.StreamRequestHandler):
+    """Drain-and-reply connection loop: every complete line already buffered
+    on the socket is processed before replying — device-path examples batch
+    into ONE predict call (one dispatch per burst, not per line) and the
+    burst's replies coalesce into ONE ``sendall``. Replies go out the moment
+    no complete line is left, *before* blocking on ``recv``, so a
+    request/response client sees per-line latency unchanged. The reference
+    serves strictly line-at-a-time (src/serving.rs:72-110) — its per-line
+    cost is a hash walk; ours is a device round-trip, hence the batching."""
+
     def handle(self):
         server: Serving = self.server.fwt_serving  # type: ignore[attr-defined]
         native_pred = server.native_predictor
@@ -112,17 +127,49 @@ class _Handler(socketserver.StreamRequestHandler):
             FeatureTranslator(server.predictor.mi) if native_pred is None else None
         )
         clone, gen = (None, 0)
-        out = self.wfile
+        sock = self.connection
+        buf = bytearray()
+        out = bytearray()
+        pending: list = []  # device-path examples awaiting a batched predict
+
+        def flush_pending():
+            while pending:
+                chunk = pending[:_BULK_CHUNK]
+                del pending[:_BULK_CHUNK]
+                for p in server.predictor.predict_examples(chunk):
+                    out.extend(b"%.6f\n" % p)
+
+        def send_out():
+            flush_pending()
+            if out:
+                sock.sendall(out)
+                out.clear()
+
+        at_eof = False
         while True:
-            line = self.rfile.readline()
-            if not line:
-                return
-            if not line.strip():
-                return
+            nl = buf.find(b"\n")
+            if nl < 0:
+                send_out()  # input drained: reply before blocking
+                if at_eof:
+                    return
+                data = sock.recv(65536)
+                if not data:
+                    if not buf:
+                        return
+                    at_eof = True
+                    buf += b"\n"  # process the trailing unterminated line
+                else:
+                    buf += data
+                continue
+            line = bytes(buf[: nl + 1])
+            del buf[: nl + 1]
             stripped = line.strip()
+            if not stripped:
+                send_out()
+                return
             try:
                 if stripped == b"flush":
-                    out.flush()
+                    send_out()
                     continue
                 if stripped.startswith(b"hogwild_load "):
                     raise HogwildLoadCommand(stripped[13:].decode().strip())
@@ -133,32 +180,35 @@ class _Handler(socketserver.StreamRequestHandler):
                     if p < 0.0:  # error code: re-parse for the message
                         parser.parse_line(line)
                         raise ParseError("prediction failed")
+                    out.extend(b"%.6f\n" % p)
                 else:
                     rec = parser.parse_line(line)
                     if rec.size == 0:
+                        send_out()
                         return
-                    te = translator.translate(rec)
-                    p = server.predictor.predict_examples([te])[0]
-                out.write(f"{float(p):.6f}\n".encode())
-                out.flush()
+                    pending.append(translator.translate(rec))
+                    if len(pending) >= _BULK_CHUNK:
+                        flush_pending()
             except FlushCommand:
-                out.flush()
+                send_out()
             except HogwildLoadCommand as cmd:
+                flush_pending()  # earlier predictions reply first, in order
                 try:
                     if native_pred is not None:
                         native_pred.hogwild_load(cmd.filename)
                     if server.predictor is not None:
                         server.predictor.hogwild_load(cmd.filename)
-                    out.write(b"hogwild_load success\n")
-                    out.flush()
+                    out += b"hogwild_load success\n"
+                    send_out()
                 except Exception as e:  # noqa: BLE001
                     log.error("hogwild_load failed: %s", e)
-                    out.write(b"ERR: hogwild_load fail\n")
-                    out.flush()
+                    out += b"ERR: hogwild_load fail\n"
+                    send_out()
                     return
             except ParseError as e:
-                out.write(f"ERR: {e}\n".encode())
-                out.flush()
+                flush_pending()
+                out += f"ERR: {e}\n".encode()
+                send_out()
                 return
 
 
@@ -203,8 +253,10 @@ class _PooledTCPServer(socketserver.TCPServer):
                 self.shutdown_request(request)
 
     def server_close(self):
+        # Called by TCPServer.__init__ itself when bind() fails — before
+        # the pool attributes exist — so guard the worker drain.
         super().server_close()
-        for _ in self._workers:
+        for _ in getattr(self, "_workers", ()):
             self._queue.put(None)
 
 

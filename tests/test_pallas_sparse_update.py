@@ -120,7 +120,11 @@ def test_empty_chunks_between_occupied_ones():
 
 
 def test_worth_it_rule():
-    assert not sparse_update.worth_it(1 << 18, 200_000)       # 2^25: tie
+    # 2^25 at large K: measured tie vs XLA-fast but dodges the bimodal
+    # slow mode — sweep engages at K >= 2^17, stays off below
+    assert sparse_update.worth_it(1 << 18, 200_000)
+    assert not sparse_update.worth_it(1 << 18, 100_000)
+    assert not sparse_update.worth_it(1 << 17, 200_000)       # 2^24: off
     assert sparse_update.worth_it((1 << 26) // 128, 32_768)   # 2^26: 11×
     assert sparse_update.worth_it((1 << 29) // 128, 65_536)   # 2^29: 1.4×
     # very low density: the sweep's table-bound cost is not worth it

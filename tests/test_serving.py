@@ -323,3 +323,90 @@ def test_fwt_serve_engine_selection(tmp_path):
     srv = Serving(args, mi, vw, model, params,
                   model_path=tmp_path / "nonexistent.fwt")
     assert srv.native_predictor is None  # fell back, no raise
+
+
+def _recv_lines(sock, n, timeout=30):
+    """Collect exactly n newline-terminated replies from the socket."""
+    sock.settimeout(timeout)
+    data = bytearray()
+    while data.count(b"\n") < n:
+        chunk = sock.recv(65536)
+        if not chunk:
+            break
+        data += chunk
+    return bytes(data).split(b"\n")[:n]
+
+
+@pytest.mark.parametrize("engine", ["device", "native"])
+def test_pipelined_burst(tmp_path, engine):
+    """A pipelined client writing one burst of N lines gets N in-order
+    replies identical to per-line request/response (the drain-and-reply
+    handler batches device predicts + coalesces replies per burst)."""
+    if engine == "native":
+        from fwumious_wabbit_tpu import native
+
+        if native.load() is None:
+            pytest.skip("no native toolchain")
+    args, mi, vw, model, params, mpath = build(tmp_path, train_steps=5)
+    args.fwt_serve_engine = engine
+    srv = Serving(args, mi, vw, model, params,
+                  model_path=mpath if engine == "native" else None)
+    from fwumious_wabbit_tpu.serve import server as server_mod
+
+    s = server_mod._PooledTCPServer(("127.0.0.1", 0), server_mod._Handler, 4)
+    s.fwt_serving = srv
+    srv._server = s
+    import threading
+
+    threading.Thread(target=s.serve_forever, daemon=True).start()
+    port = s.server_address[1]
+    lines = [b"1 |A cat |B milk\n", b"-1 |A dog |B stone\n",
+             b"|A cat |B stone\n", b"|A dog |B milk\n"] * 8
+    try:
+        # per-line baseline
+        c = Client(port)
+        expected = [c.send(l) for l in lines]
+        c.close()
+        # one burst, all lines in a single send
+        c = Client(port)
+        c.sock.sendall(b"".join(lines))
+        got = _recv_lines(c.sock, len(lines))
+        assert got == [e.rstrip(b"\n") for e in expected]
+        c.close()
+        # burst with a mid-stream parse error: in-order replies for the
+        # earlier lines arrive BEFORE the ERR, then the connection drops
+        c = Client(port)
+        c.sock.sendall(lines[0] + lines[1] + b"|Z nope\n" + lines[2])
+        got = _recv_lines(c.sock, 3)
+        assert got[0] == expected[0].rstrip(b"\n")
+        assert got[1] == expected[1].rstrip(b"\n")
+        assert got[2].startswith(b"ERR: ")
+        assert c.sock.recv(4096) == b""  # dropped
+        c.close()
+        # trailing unterminated line is served at EOF (readline semantics)
+        c = Client(port)
+        c.sock.sendall(lines[0] + lines[1].rstrip(b"\n"))
+        c.sock.shutdown(socket.SHUT_WR)
+        got = _recv_lines(c.sock, 2)
+        assert got == [e.rstrip(b"\n") for e in expected[:2]]
+        c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_bind_failure_raises_oserror():
+    """TCPServer.__init__ calls server_close() when bind() fails — before
+    the worker-pool attributes exist. The pool's server_close must not mask
+    the real OSError with an AttributeError (found driving two daemons on
+    one port)."""
+    from fwumious_wabbit_tpu.serve import server as server_mod
+
+    a = server_mod._PooledTCPServer(("127.0.0.1", 0), server_mod._Handler, 2)
+    port = a.server_address[1]
+    try:
+        with pytest.raises(OSError) as ei:
+            server_mod._PooledTCPServer(("127.0.0.1", port),
+                                        server_mod._Handler, 2)
+        assert not isinstance(ei.value, AttributeError)
+    finally:
+        a.server_close()
