@@ -774,13 +774,10 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                         # constant-feature column elision + id bit-packing
                         # + vocab indexing: pure transfer savings, undone
                         # device-side (packed.py unpack_row)
-                        slim, appends, bitpacks, row_bcasts, vocabs, \
-                            ctabs = packed_mod.prepare_for_transfer(
-                                bd, mi, bitpack=bitpack_on,
-                                vocab_state=vocab_state)
-                        lay = packed_mod.layout_of(
-                            slim, appends, bitpacks, row_bcasts, vocabs,
-                            ctabs)
+                        slim, *spec = packed_mod.prepare_for_transfer(
+                            bd, mi, bitpack=bitpack_on,
+                            vocab_state=vocab_state)
+                        lay = packed_mod.layout_of(slim, *spec)
                     if lay is not None and (
                             glay is None or lay.signature == glay.signature):
                         group.append((bd, slim))

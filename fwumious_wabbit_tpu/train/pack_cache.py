@@ -135,6 +135,7 @@ def _layout_to_json(lay: PackedLayout) -> bytes:
         "row_broadcasts": lay.row_broadcasts,
         "vocabs": lay.vocabs,
         "count_tabs": lay.count_tabs,
+        "bit_cols": lay.bit_cols,
     }).encode()
 
 
@@ -144,7 +145,8 @@ def _layout_from_json(raw: bytes) -> PackedLayout:
         _Field(f[0], f[1], tuple(f[2]), f[3], f[4]) for f in d["fields"])
     return PackedLayout(fields, d["words"], _retuple(d["appends"]),
                         _retuple(d["bitpacks"]), _retuple(d["row_broadcasts"]),
-                        _retuple(d["vocabs"]), _retuple(d["count_tabs"]))
+                        _retuple(d["vocabs"]), _retuple(d["count_tabs"]),
+                        _retuple(d.get("bit_cols", ())))
 
 
 class PackCacheWriter:

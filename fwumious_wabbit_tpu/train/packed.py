@@ -89,7 +89,13 @@ class PackedLayout:
     per-entry code column is redundant with a per-(column, index) table
     (``counts_key + '_tab'``, one u8 per vocab slot ≈ 5 B/example vs 12
     on the Eat-Rate schema); direct columns keep per-entry codes in a
-    narrowed ``counts_key`` array. See :func:`table_counts`."""
+    narrowed ``counts_key`` array. See :func:`table_counts`.
+
+    ``bit_cols``: binary per-example columns (the 0/1 label) shipped as
+    ONE bit per example across the batch — tuple of (key, n): the batch
+    dict carries ``[n/32]`` u32 words and :func:`unpack_row` restores
+    ``[n]`` u8 with a broadcast shift/mask (1 vs 8 bits per example).
+    See :func:`bitpack_labels`."""
 
     fields: tuple  # tuple[_Field]
     words: int
@@ -98,17 +104,18 @@ class PackedLayout:
     row_broadcasts: tuple = ()
     vocabs: tuple = ()
     count_tabs: tuple = ()
+    bit_cols: tuple = ()
 
     @property
     def signature(self):
         return (tuple((f.key, f.dtype, f.shape) for f in self.fields),
                 self.appends, self.bitpacks, self.row_broadcasts,
-                self.vocabs, self.count_tabs)
+                self.vocabs, self.count_tabs, self.bit_cols)
 
 
 def layout_of(bd: dict, appends: tuple = (), bitpacks: tuple = (),
               row_broadcasts: tuple = (), vocabs: tuple = (),
-              count_tabs: tuple = ()) -> PackedLayout | None:
+              count_tabs: tuple = (), bit_cols: tuple = ()) -> PackedLayout | None:
     """Build the layout for a batch dict, or None if it cannot pack
     (unknown dtype or a byte count not divisible by 4)."""
     fields = []
@@ -125,7 +132,7 @@ def layout_of(bd: dict, appends: tuple = (), bitpacks: tuple = (),
         off += wl
     return PackedLayout(tuple(fields), off, tuple(appends), tuple(bitpacks),
                         tuple(row_broadcasts), tuple(vocabs),
-                        tuple(count_tabs))
+                        tuple(count_tabs), tuple(bit_cols))
 
 
 CONSTANT_HASH = 11650396  # the VW constant feature (ingest/translator.py)
@@ -194,6 +201,25 @@ def bitpack_ids(bd: dict, key: str, bits: int):
     nb = dict(bd)
     nb[key] = out
     return nb, ((key, bits, W),)
+
+
+def bitpack_labels(bd: dict, key: str = "label"):
+    """Ship a 0/1 u8 column as one bit per example (8× smaller): the label
+    is 1 B/example of the Eat-Rate payload whose information content is one
+    bit. Guards: u8 dtype, values ≤ 1 (the 255 NO_LABEL sentinel only occurs
+    on predict paths, which never pack), and a 32-divisible batch so the
+    words view is exact. Device inverse in :func:`unpack_row` is a single
+    broadcast shift/mask (reference label layout: src/parser.rs packed
+    records carry the label word; ours is already a u8 column)."""
+    lab = bd.get(key)
+    if (lab is None or not isinstance(lab, np.ndarray)
+            or lab.dtype != np.uint8 or lab.ndim != 1
+            or lab.size % 32 != 0 or (lab > 1).any()):
+        return bd, ()
+    words = np.packbits(lab, bitorder="little").view(np.uint32)
+    out = dict(bd)
+    out[key] = words
+    return out, ((key, int(lab.size)),)
 
 
 def strip_uniform_rows(bd: dict, key: str):
@@ -443,10 +469,10 @@ def prepare_for_transfer(bd: dict, mi, bitpack: bool = True,
     """Production transfer slimming for one full batch: constant-feature
     column elision, combo un-packing to a row broadcast, vocabulary
     index encoding + shadow-table counts (when ``vocab_state`` is
-    given), lr/ffm id bit-packing, and uniform-row elision (field
-    indices, combo indices, multiplicity counts). Returns (slim,
-    appends, bitpacks, row_broadcasts, vocabs, count_tabs) — the
-    layout_of inputs. Used by the train loop's producer and by bench.py's
+    given), lr/ffm id bit-packing, uniform-row elision (field
+    indices, combo indices, multiplicity counts), and 1-bit label
+    packing. Returns (slim, appends, bitpacks, row_broadcasts, vocabs,
+    count_tabs, bit_cols) — the layout_of inputs. Used by the train loop's producer and by bench.py's
     transfer probes so measurements ship the production payload."""
     slim, appends = strip_constant_columns(bd, mi.lr_hash_mask)
     bitpacks = ()
@@ -482,7 +508,11 @@ def prepare_for_transfer(bd: dict, mi, bitpack: bool = True,
             continue  # narrowed direct-column array: unpack needs it
         slim, rb = strip_uniform_rows(slim, key)
         row_broadcasts = row_broadcasts + rb
-    return slim, appends, bitpacks, row_broadcasts, vocabs, count_tabs
+    bit_cols = ()
+    if bitpack:
+        slim, bit_cols = bitpack_labels(slim)
+    return (slim, appends, bitpacks, row_broadcasts, vocabs, count_tabs,
+            bit_cols)
 
 
 def pack(layout: PackedLayout, bds: list) -> np.ndarray:
@@ -573,6 +603,13 @@ def unpack_row(row: jnp.ndarray, layout: PackedLayout,
                 v = v | jax.lax.shift_left(a[:, w0 + 1], jnp.uint32(32 - s))
             cols.append((v & mask).astype(jnp.int32))
         bd[key] = jnp.stack(cols, axis=1)
+    for key, n in layout.bit_cols:
+        # 1-bit columns (label): [n/32] u32 → [n] u8 by broadcast
+        # shift/mask — no gather, fuses into the consuming step
+        words = bd[key]
+        shifts = jnp.arange(32, dtype=jnp.uint32)[None, :]
+        bits = jax.lax.shift_right_logical(words[:, None], shifts)
+        bd[key] = (bits & jnp.uint32(1)).reshape(n).astype(jnp.uint8)
     for key, dtstr, row_vals, B in layout.row_broadcasts:
         row = jnp.asarray(np.array(row_vals, np.dtype(dtstr)))
         bd[key] = jnp.broadcast_to(row, (B, len(row_vals)))

@@ -295,16 +295,17 @@ def test_unpack_uniform_combos_roundtrip():
     counts = np.full((B, W), 120, np.uint8)
     bd = {"label": rng.integers(0, 2, B).astype(np.uint8),
           "lr_ids": ids, "lr_counts": counts}
-    slim, ap, bp, rb, vc, _ct = packed_mod.prepare_for_transfer(bd, MI)
+    slim, ap, bp, rb, vc, _ct, _bc = packed_mod.prepare_for_transfer(bd, MI)
     assert vc == ()
     assert bp == (("lr_ids", 25, W - 1),)  # constant elided, 25-bit pack
     assert dict((r[0], r) for r in rb).keys() == {"lr_combos", "lr_counts"}
     assert ap == (("lr_ids", packed_mod.CONSTANT_HASH & MI.lr_hash_mask),
                   ("lr_counts", 120))
     payload = sum(v.nbytes for v in slim.values()) / B
-    assert payload == 45.0  # 11 u32 id words + 1 label byte
+    assert payload == 44.125  # 11 u32 id words + 1 label BIT
+    assert _bc == (("label", B),)
 
-    lay = packed_mod.layout_of(slim, ap, bp, rb)
+    lay = packed_mod.layout_of(slim, ap, bp, rb, bit_cols=_bc)
     out = jax.jit(lambda r: packed_mod.unpack_row(r, lay))(
         packed_mod.pack(lay, [slim])[0])
     np.testing.assert_array_equal(np.asarray(out["lr_ids"]),
@@ -316,11 +317,11 @@ def test_unpack_uniform_combos_roundtrip():
     # one example with a different combo layout: ids stay combo-packed
     ids2 = ids.copy()
     ids2[3, 0] = (ids2[3, 0] & MI.lr_hash_mask) | (6 << 25)
-    slim2, ap2, bp2, rb2, _vc2, _ct2b = packed_mod.prepare_for_transfer(
+    slim2, ap2, bp2, rb2, _vc2, _ct2b, _bc2b = packed_mod.prepare_for_transfer(
         {"label": bd["label"], "lr_ids": ids2, "lr_counts": counts}, MI)
     assert bp2 == (("lr_ids", 29, W - 1),)
     assert "lr_combos" not in dict((r[0], r) for r in rb2)
-    lay2 = packed_mod.layout_of(slim2, ap2, bp2, rb2)
+    lay2 = packed_mod.layout_of(slim2, ap2, bp2, rb2, bit_cols=_bc2b)
     out2 = jax.jit(lambda r: packed_mod.unpack_row(r, lay2))(
         packed_mod.pack(lay2, [slim2])[0])
     assert "lr_combos" not in out2
@@ -329,7 +330,7 @@ def test_unpack_uniform_combos_roundtrip():
     # non-uniform counts ship unchanged
     counts3 = counts.copy()
     counts3[5, 2] = 64
-    slim3, _ap3, _bp3, rb3, _vc3, _ct3 = packed_mod.prepare_for_transfer(
+    slim3, _ap3, _bp3, rb3, _vc3, _ct3, _bc3 = packed_mod.prepare_for_transfer(
         {"label": bd["label"], "lr_ids": ids, "lr_counts": counts3}, MI)
     assert "lr_counts" in slim3
     assert "lr_counts" not in dict((r[0], r) for r in rb3)
@@ -375,7 +376,7 @@ def test_vocab_encoded_transfer_roundtrip():
                      "lr_ids": packed_ids}
 
     ids1, bd1 = make_batch(1)
-    slim, ap, bp, rb, vc, _ct = packed_mod.prepare_for_transfer(
+    slim, ap, bp, rb, vc, _ct, _bc = packed_mod.prepare_for_transfer(
         bd1, MI, vocab_state=state)
     assert len(vc) == 1
     _key, widths, bases, n_rows = vc[0]
@@ -389,7 +390,7 @@ def test_vocab_encoded_transfer_roundtrip():
     state.venc.clear_dirty()
     assert snap.shape == (n_rows, 128) and snap.dtype == np.int32
 
-    lay = packed_mod.layout_of(slim, ap, bp, rb, vc)
+    lay = packed_mod.layout_of(slim, ap, bp, rb, vc, bit_cols=_bc)
     vocab_dev = jax.device_put(snap)
     out = jax.jit(lambda r, v: packed_mod.unpack_row(r, lay, v))(
         packed_mod.pack(lay, [slim])[0], vocab_dev)
@@ -401,11 +402,11 @@ def test_vocab_encoded_transfer_roundtrip():
     # second batch: same dictionaries, indices resolve against the SAME
     # snapshot (only genuinely new entries re-dirty the state)
     ids2, bd2 = make_batch(2)
-    slim2, ap2, bp2, rb2, vc2, _ct2 = packed_mod.prepare_for_transfer(
+    slim2, ap2, bp2, rb2, vc2, _ct2, _bc2 = packed_mod.prepare_for_transfer(
         bd2, MI, vocab_state=state)
     assert vc2 == vc  # stable signature
     assert not state.venc.dirty  # col0 fully seen, others direct
-    lay2 = packed_mod.layout_of(slim2, ap2, bp2, rb2, vc2)
+    lay2 = packed_mod.layout_of(slim2, ap2, bp2, rb2, vc2, bit_cols=_bc2)
     out2 = jax.jit(lambda r, v: packed_mod.unpack_row(r, lay2, v))(
         packed_mod.pack(lay2, [slim2])[0], vocab_dev)
     np.testing.assert_array_equal(np.asarray(out2["lr_ids"]), ids2)
@@ -456,7 +457,7 @@ def test_count_table_roundtrip():
     state = packed_mod.VocabTransferState(max_cap=256)
     ids1, bd1 = make_batch(1)
     counts1 = bd1["lr_counts"].copy()
-    slim, ap, bp, rb, vc, ct = packed_mod.prepare_for_transfer(
+    slim, ap, bp, rb, vc, ct, _bc = packed_mod.prepare_for_transfer(
         bd1, MI, vocab_state=state)
     assert ct == (("lr_counts", "lr_ids"),)
     _key, widths, bases, n_rows = vc[0]
@@ -465,7 +466,7 @@ def test_count_table_roundtrip():
     assert slim["lr_counts"].shape == (B, n_direct)
     assert slim["lr_counts_tab"].shape == (n_rows * 128,)
     snap = packed_mod.export_vocab(state.venc, vc[0])
-    lay = packed_mod.layout_of(slim, ap, bp, rb, vc, ct)
+    lay = packed_mod.layout_of(slim, ap, bp, rb, vc, ct, _bc)
     out = jax.jit(lambda r, v: packed_mod.unpack_row(r, lay, v))(
         packed_mod.pack(lay, [slim])[0], jax.device_put(snap))
     np.testing.assert_array_equal(np.asarray(out["lr_ids"]), ids1)
@@ -478,7 +479,7 @@ def test_count_table_roundtrip():
     # uniform counts: table path declines, broadcast elision takes over
     _ids_u, bd_u = make_batch(3)
     bd_u["lr_counts"] = np.full((B, W), 5, np.uint8)
-    slim_u, _ap, _bp, rb_u, _vc, ct_u = packed_mod.prepare_for_transfer(
+    slim_u, _ap, _bp, rb_u, _vc, ct_u, _bcu = packed_mod.prepare_for_transfer(
         bd_u, MI, vocab_state=state)
     assert ct_u == ()
     assert "lr_counts" not in slim_u
@@ -488,7 +489,7 @@ def test_count_table_roundtrip():
     # 0 regardless of id)
     _ids_v, bd_v = make_batch(4)
     bd_v["lr_vals"] = np.ones((B, W), np.float32)
-    slim_v, *_rest_v, ct_v = packed_mod.prepare_for_transfer(
+    slim_v, *_rest_v, ct_v, _bc_v = packed_mod.prepare_for_transfer(
         bd_v, MI, vocab_state=state)
     assert ct_v == ()
     assert slim_v["lr_counts"].shape == (B, W)
@@ -514,3 +515,32 @@ def test_vocab_on_off_identical(tmp_path):
     assert p1.read_text() == p2.read_text()
     assert p1.stat().st_size > 0
     assert m1.read_bytes() == m2.read_bytes()
+
+
+def test_bitpack_labels_unit():
+    """1-bit label packing: exact roundtrip through pack/unpack_row, and
+    the guards (non-binary values, 255 NO_LABEL sentinel, odd sizes) all
+    refuse."""
+    from fwumious_wabbit_tpu.train import packed as packed_mod
+
+    rng = np.random.default_rng(3)
+    lab = rng.integers(0, 2, 96).astype(np.uint8)
+    slim, bc = packed_mod.bitpack_labels({"label": lab})
+    assert bc == (("label", 96),)
+    assert slim["label"].dtype == np.uint32 and slim["label"].size == 3
+    lay = packed_mod.layout_of(slim, bit_cols=bc)
+    out = jax.jit(lambda r: packed_mod.unpack_row(r, lay))(
+        packed_mod.pack(lay, [slim])[0])
+    got = np.asarray(out["label"])
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, lab)
+
+    # guards
+    sent = lab.copy()
+    sent[5] = 255  # NO_LABEL sentinel: must ship unpacked
+    assert packed_mod.bitpack_labels({"label": sent})[1] == ()
+    assert packed_mod.bitpack_labels(
+        {"label": lab[:33]})[1] == ()  # not 32-divisible
+    assert packed_mod.bitpack_labels(
+        {"label": lab.astype(np.int32)})[1] == ()  # wrong dtype
+    assert packed_mod.bitpack_labels({})[1] == ()
