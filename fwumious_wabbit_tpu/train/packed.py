@@ -336,11 +336,13 @@ def encode_vocab_ids(slim: dict, appends: tuple, mi,
     the vocabulary snapshot (see :class:`PackedLayout` and
     :func:`export_vocab`). Only engages when it saves whole u32 words
     over the plain uniform bit-pack. Returns
-    (slim, appends, row_broadcasts, vocabs_spec, idx) — idx is the raw
-    [B, W] i32 index matrix (dictionary indices for vocab columns, masked
-    ids for direct ones), reused by :func:`table_counts`; all
-    unchanged/empty (idx None) when the encoding does not apply
-    (variable combo layout, no native lib, no saving)."""
+    (slim, appends, row_broadcasts, vocabs_spec, idx_sizes) — idx_sizes
+    is (idx, sizes): the raw [B, W] i32 index matrix (dictionary indices
+    for vocab columns, masked ids for direct ones) and the exact
+    per-column dictionary sizes (-1 direct), reused by
+    :func:`table_counts`; all unchanged/empty (idx_sizes None) when the
+    encoding does not apply (variable combo layout, no native lib, no
+    saving)."""
     ids = slim.get("lr_ids")
     if state.disabled or ids is None or ids.ndim != 2 \
             or ids.shape[1] == 0 or ids.dtype != np.int32 \
@@ -402,7 +404,8 @@ def encode_vocab_ids(slim: dict, appends: tuple, mi,
                            tuple(int(x) for x in crow),
                            int(ids.shape[0])),)
     return out, appends, row_broadcasts, (
-        ("lr_ids", widths, tuple(bases), n_rows),), idx
+        ("lr_ids", widths, tuple(bases), n_rows),), (idx, tuple(
+            int(s) for s in sizes[:W]))
 
 
 def export_vocab(venc, spec) -> np.ndarray:
@@ -418,15 +421,25 @@ def export_vocab(venc, spec) -> np.ndarray:
     return flat.reshape(n_rows, 128)
 
 
-def table_counts(slim: dict, vocabs: tuple, idx, row_broadcasts: tuple):
-    """Re-encode ``lr_counts`` as a u8 shadow of the vocab regions.
+_TAB_GRAIN = 2048  # tab region rounding: trades re-signature cadence
+# (one per 2048 new dictionary entries per column — dictionaries saturate
+# early on fixed-cardinality schemas) against shipped padding
+
+
+def table_counts(slim: dict, vocabs: tuple, idx_sizes, row_broadcasts: tuple):
+    """Re-encode ``lr_counts`` as a u8 shadow table of the dictionaries.
 
     Within one batch an id has ONE global multiplicity (the radix counts
     are keyed by the id alone), so for dictionary columns the per-entry
-    code is a function of (column, index): ship it once per vocab slot
-    (``lr_counts_tab``, reusing the vocab bases) instead of once per
-    example — 12 → ~5.25 B/example on the Eat-Rate schema. Direct
-    columns keep per-entry codes in a narrowed ``lr_counts``.
+    code is a function of (column, index): ship it once per dictionary
+    slot (``lr_counts_tab``) instead of once per example. The tab packs
+    columns at their EXACT dictionary sizes rounded to ``_TAB_GRAIN``
+    (its own base offsets, carried in the count_tabs spec) — NOT the
+    power-of-2 vocab snapshot regions, which ship only on growth and can
+    afford the padding; the tab ships EVERY batch (measured Eat-Rate
+    schema: 104k real entries vs 172k power-of-2 slots → 3.25 vs 5.25
+    B/example). Direct columns keep per-entry codes in a narrowed
+    ``lr_counts``.
 
     Requires exact conditions (checked here; ship per-entry otherwise):
     the value column was elided as all-ones (a zero-valued entry's code
@@ -434,9 +447,11 @@ def table_counts(slim: dict, vocabs: tuple, idx, row_broadcasts: tuple):
     batch has no padding entries (their code is 0 the same way) — i.e.
     the combo broadcast row is all non-negative."""
     counts = slim.get("lr_counts")
-    if idx is None or not vocabs or counts is None \
-            or "lr_vals" in slim or counts.ndim != 2 \
-            or counts.shape != idx.shape or counts.dtype != np.uint8:
+    if idx_sizes is None or not vocabs or counts is None \
+            or "lr_vals" in slim or counts.ndim != 2:
+        return slim, ()
+    idx, sizes = idx_sizes
+    if counts.shape != idx.shape or counts.dtype != np.uint8:
         return slim, ()
     for key, _dt, row_vals, _b in row_broadcasts:
         if key == "lr_combos" and any(v < 0 for v in row_vals):
@@ -445,23 +460,35 @@ def table_counts(slim: dict, vocabs: tuple, idx, row_broadcasts: tuple):
         return slim, ()  # combo column shipped raw: padding unknown
     if (counts == counts[0]).all():
         return slim, ()  # row-uniform: broadcast elision is free, a tab
-        # would ship n_rows*128 bytes for nothing (strip_uniform_rows)
-    _key, widths, bases, n_rows = vocabs[0]
-    n_direct = sum(1 for b in bases if b < 0)
+        # would ship the region bytes for nothing (strip_uniform_rows)
+    _key, widths, bases, _n_rows = vocabs[0]
     B, W = counts.shape
-    if n_rows * 128 + B * n_direct >= B * W:
+    tab_bases = []
+    off = 0
+    for j, b in enumerate(bases):
+        if b < 0:
+            tab_bases.append(-1)
+        else:
+            tab_bases.append(off)
+            # exact size rounded to the grain, but never beyond the
+            # power-of-2 snapshot region (small vocabs stay tiny)
+            off += min(1 << widths[j],
+                       -(-max(int(sizes[j]), 1) // _TAB_GRAIN) * _TAB_GRAIN)
+    off = -(-off // 128) * 128  # [.., 128] device reshape
+    n_direct = sum(1 for b in bases if b < 0)
+    if off + B * n_direct >= B * W:
         return slim, ()  # tab + direct columns outweigh per-entry codes
         # (large vocab relative to the batch)
     from .. import native as fw_native
 
-    tab = fw_native.counts_table(idx, counts, bases, n_rows * 128)
+    tab = fw_native.counts_table(idx, counts, tab_bases, off)
     if tab is None:
         return slim, ()
     direct = [j for j, b in enumerate(bases) if b < 0]
     out = dict(slim)
     out["lr_counts"] = np.ascontiguousarray(counts[:, direct])
     out["lr_counts_tab"] = tab
-    return out, (("lr_counts", "lr_ids"),)
+    return out, (("lr_counts", "lr_ids", tuple(tab_bases)),)
 
 
 def prepare_for_transfer(bd: dict, mi, bitpack: bool = True,
@@ -481,11 +508,11 @@ def prepare_for_transfer(bd: dict, mi, bitpack: bool = True,
     count_tabs = ()
     if bitpack:
         if vocab_state is not None:
-            slim, appends, rb0, vocabs, idx = encode_vocab_ids(
+            slim, appends, rb0, vocabs, idx_sizes = encode_vocab_ids(
                 slim, appends, mi, vocab_state)
             row_broadcasts += rb0
             if vocabs:
-                slim, count_tabs = table_counts(slim, vocabs, idx,
+                slim, count_tabs = table_counts(slim, vocabs, idx_sizes,
                                                 row_broadcasts)
         if not vocabs:
             slim, appends, rb0 = unpack_uniform_combos(slim, appends, mi)
@@ -574,16 +601,20 @@ def unpack_row(row: jnp.ndarray, layout: PackedLayout,
             o += wbits
         bd[key] = jnp.stack(cols, axis=1)
         vocab_idx[key] = (idxs, bases)
-    for ckey, idkey in layout.count_tabs:
+    for spec in layout.count_tabs:
         # multiplicity codes: dictionary columns read the u8 shadow table
-        # at their vocab slot; direct columns take the next per-entry
-        # column of the narrowed ckey array (see table_counts)
+        # at their packed tab slot (tab bases in the spec; legacy 2-tuple
+        # layouts from pre-change pack caches reuse the vocab bases);
+        # direct columns take the next per-entry column of the narrowed
+        # ckey array (see table_counts)
+        ckey, idkey = spec[0], spec[1]
         idxs, bases = vocab_idx[idkey]
+        tab_bases = spec[2] if len(spec) > 2 else bases
         tab2d = bd.pop(ckey + "_tab").reshape(-1, 128)
         direct = bd[ckey]  # [B, D] u8
         cols = []
         d = 0
-        for j, base in enumerate(bases):
+        for j, base in enumerate(tab_bases):
             if base < 0:
                 cols.append(direct[:, d].astype(jnp.int32))
                 d += 1

@@ -459,8 +459,10 @@ def test_count_table_roundtrip():
     counts1 = bd1["lr_counts"].copy()
     slim, ap, bp, rb, vc, ct, _bc = packed_mod.prepare_for_transfer(
         bd1, MI, vocab_state=state)
-    assert ct == (("lr_counts", "lr_ids"),)
     _key, widths, bases, n_rows = vc[0]
+    assert ct[0][:2] == ("lr_counts", "lr_ids")
+    # small vocabs: packed tab bases coincide with the snapshot bases
+    assert ct[0][2] == bases
     n_direct = sum(1 for b in bases if b < 0)
     assert n_direct == 1  # only the high-cardinality column is direct
     assert slim["lr_counts"].shape == (B, n_direct)
@@ -474,7 +476,7 @@ def test_count_table_roundtrip():
     assert np.asarray(out["lr_counts"]).dtype == np.uint8
 
     # tab bytes beat per-entry bytes on this shape
-    assert n_rows * 128 + B * n_direct < B * W
+    assert slim["lr_counts_tab"].size + B * n_direct < B * W
 
     # uniform counts: table path declines, broadcast elision takes over
     _ids_u, bd_u = make_batch(3)
