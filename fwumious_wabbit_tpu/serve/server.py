@@ -13,11 +13,14 @@ Design differences from the reference, TPU-motivated:
   in-flight predictions keep their snapshot);
 * per-connection prediction is drain-and-reply micro-batched (``_Handler``):
   all complete lines already buffered on the socket are processed as one
-  unit — device-path examples batch into one predict call and the replies
-  for a burst coalesce into one ``send`` — so a pipelined client pays one
-  device dispatch + one reply syscall per burst instead of per line. A
-  lone-line request sees no added latency: replies are sent the moment the
-  input buffer has no complete line left, before blocking on ``recv``.
+  unit — native-engine bursts go through ONE ``fw_predict_block_mt`` C call
+  (thread-sharded parse+predict), device-path examples batch into one
+  predict call, and the replies for a burst coalesce into one ``send`` — so
+  a pipelined client pays one engine call + one reply syscall per burst
+  instead of per line (measured single-core: 28k lines/s request/response
+  → 247k lines/s pipelined, identical replies). A lone-line request sees
+  no added latency: replies are sent the moment the input buffer has no
+  complete line left, before blocking on ``recv``.
 
 ``--foreground`` keeps the process attached; otherwise the CLI daemonizes
 by classic double-fork BEFORE any JAX backend initialization (forking after
@@ -108,6 +111,22 @@ class NativeSharedPredictor:
 
 _BULK_CHUNK = 4096  # device-path examples per predict call on a drained burst
 
+_FMT_CACHE: dict = {}
+
+
+def _format_preds(out: bytearray, preds) -> None:
+    """Append '%.6f\\n' per prediction — one C-level format call per chunk
+    (2× a per-element loop on 20k-line bursts)."""
+    seq = preds.tolist() if hasattr(preds, "tolist") else list(preds)
+    i = 0
+    while i < len(seq):
+        c = seq[i : i + _BULK_CHUNK]
+        i += _BULK_CHUNK
+        fmt = _FMT_CACHE.get(len(c))
+        if fmt is None:
+            fmt = _FMT_CACHE.setdefault(len(c), b"%.6f\n" * len(c))
+        out += fmt % tuple(c)
+
 
 class _Handler(socketserver.StreamRequestHandler):
     """Drain-and-reply connection loop: every complete line already buffered
@@ -136,8 +155,7 @@ class _Handler(socketserver.StreamRequestHandler):
             while pending:
                 chunk = pending[:_BULK_CHUNK]
                 del pending[:_BULK_CHUNK]
-                for p in server.predictor.predict_examples(chunk):
-                    out.extend(b"%.6f\n" % p)
+                _format_preds(out, server.predictor.predict_examples(chunk))
 
         def send_out():
             flush_pending()
@@ -161,27 +179,41 @@ class _Handler(socketserver.StreamRequestHandler):
                 else:
                     buf += data
                 continue
-            line = bytes(buf[: nl + 1])
-            del buf[: nl + 1]
-            stripped = line.strip()
-            if not stripped:
-                send_out()
-                return
             try:
+                if native_pred is not None:
+                    # block-predict the whole buffered complete-line region
+                    # in ONE C call (fw_predict_block_mt: thread-sharded for
+                    # big bursts, serial walk for lone lines — so a
+                    # request/response client keeps per-line latency). The
+                    # engine stops BEFORE the first special line (empty/
+                    # flush/hogwild_load/parse error), which the per-line
+                    # logic below then handles from the head of the buffer.
+                    if clone is None or gen != native_pred.generation:
+                        clone, gen = native_pred.clone()
+                    end = buf.rfind(b"\n") + 1
+                    preds, consumed, status = clone.predict_block_mt(
+                        bytes(buf[:end]))
+                    del buf[:consumed]
+                    _format_preds(out, preds)
+                    if status == clone.BLOCK_OK:
+                        continue
+                    if status == clone.BLOCK_ERROR:
+                        hnl = buf.find(b"\n")
+                        parser.parse_line(bytes(buf[: hnl + 1]))
+                        raise ParseError("prediction failed")
+                    nl = buf.find(b"\n")  # special line at the head
+                line = bytes(buf[: nl + 1])
+                del buf[: nl + 1]
+                stripped = line.strip()
+                if not stripped:
+                    send_out()
+                    return
                 if stripped == b"flush":
                     send_out()
                     continue
                 if stripped.startswith(b"hogwild_load "):
                     raise HogwildLoadCommand(stripped[13:].decode().strip())
-                if native_pred is not None:
-                    if clone is None or gen != native_pred.generation:
-                        clone, gen = native_pred.clone()
-                    p = clone.predict(line)
-                    if p < 0.0:  # error code: re-parse for the message
-                        parser.parse_line(line)
-                        raise ParseError("prediction failed")
-                    out.extend(b"%.6f\n" % p)
-                else:
+                if native_pred is None:
                     rec = parser.parse_line(line)
                     if rec.size == 0:
                         send_out()
