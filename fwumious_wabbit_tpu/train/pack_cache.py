@@ -47,7 +47,10 @@ from .packed import PackedLayout, _Field
 log = get_logger(__name__)
 
 PACK_MAGIC = b"FWPK"
-PACK_VERSION = 1
+# Bump on any change to the production payload format so stale caches
+# re-record with the current slimming (v2: 1-bit labels + size-packed
+# count tabs — a v1 replay would silently ship the fatter stream)
+PACK_VERSION = 2
 # 8-byte trailer: a 1-byte marker would false-pass on ~1/256 of truncation
 # points (array payload bytes are arbitrary); 'e' doubles as the item
 # loop's stop tag
