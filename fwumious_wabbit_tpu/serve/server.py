@@ -18,7 +18,7 @@ Design differences from the reference, TPU-motivated:
   predict call, and the replies for a burst coalesce into one ``send`` — so
   a pipelined client pays one engine call + one reply syscall per burst
   instead of per line (measured single-core: 28k lines/s request/response
-  → 247k lines/s pipelined, identical replies). A lone-line request sees
+  → 280k lines/s pipelined, identical replies). A lone-line request sees
   no added latency: replies are sent the moment the input buffer has no
   complete line left, before blocking on ``recv``.
 
@@ -73,12 +73,24 @@ class SharedPredictor:
             self._params = new_params
 
     def predict_examples(self, examples) -> np.ndarray:
+        """Predict a list of translated examples of ANY length with a
+        SHAPE-STABLE jitted program: chunks of ``batch_size`` padded to the
+        full batch (widths bucketed by the Batcher) — arbitrary burst sizes
+        must not each compile a fresh XLA program (20-40 s per shape on the
+        target platform)."""
         params = self._params  # snapshot
-        batch = self.batcher.make_batch(examples, pad_to_batch=False)
         from ..train.loop import _batch_dict
 
-        preds = self._predict(params, _batch_dict(batch))
-        return np.asarray(preds)[: batch.num_examples]
+        if not examples:
+            return np.zeros(0, np.float32)
+        bs = self.batcher.batch_size
+        outs = []
+        for i in range(0, len(examples), bs):
+            chunk = examples[i : i + bs]
+            batch = self.batcher.make_batch(chunk, pad_to_batch=True)
+            preds = self._predict(params, _batch_dict(batch))
+            outs.append(np.asarray(preds)[: len(chunk)])
+        return outs[0] if len(outs) == 1 else np.concatenate(outs)
 
 
 class NativeSharedPredictor:
@@ -111,21 +123,20 @@ class NativeSharedPredictor:
 
 _BULK_CHUNK = 4096  # device-path examples per predict call on a drained burst
 
-_FMT_CACHE: dict = {}
-
 
 def _format_preds(out: bytearray, preds) -> None:
-    """Append '%.6f\\n' per prediction — one C-level format call per chunk
-    (2× a per-element loop on 20k-line bursts)."""
-    seq = preds.tolist() if hasattr(preds, "tolist") else list(preds)
-    i = 0
-    while i < len(seq):
-        c = seq[i : i + _BULK_CHUNK]
-        i += _BULK_CHUNK
-        fmt = _FMT_CACHE.get(len(c))
-        if fmt is None:
-            fmt = _FMT_CACHE.setdefault(len(c), b"%.6f\n" * len(c))
-        out += fmt % tuple(c)
+    """Append '%.6f\\n' per prediction — one call into the C formatter
+    (fwn_format_preds, the CLI predict path's writer); plain loop fallback
+    for device-engine deployments without the native lib."""
+    from .. import native as fw_native
+
+    arr = np.asarray(preds, np.float32)
+    b = fw_native.format_preds(arr)
+    if b is not None:
+        out += b
+        return
+    for p in arr.tolist():
+        out.extend(b"%.6f\n" % p)
 
 
 class _Handler(socketserver.StreamRequestHandler):
@@ -199,7 +210,14 @@ class _Handler(socketserver.StreamRequestHandler):
                         continue
                     if status == clone.BLOCK_ERROR:
                         hnl = buf.find(b"\n")
-                        parser.parse_line(bytes(buf[: hnl + 1]))
+                        bad = bytes(buf[: hnl + 1])
+                        if not bad.strip():
+                            # whitespace-only line: the C parser calls it an
+                            # error, but the wire contract (and the device
+                            # path) treats any blank line as end-of-stream
+                            send_out()
+                            return
+                        parser.parse_line(bad)
                         raise ParseError("prediction failed")
                     nl = buf.find(b"\n")  # special line at the head
                 line = bytes(buf[: nl + 1])

@@ -422,8 +422,11 @@ def export_vocab(venc, spec) -> np.ndarray:
 
 
 _TAB_GRAIN = 2048  # tab region rounding: trades re-signature cadence
-# (one per 2048 new dictionary entries per column — dictionaries saturate
-# early on fixed-cardinality schemas) against shipped padding
+# against shipped padding. Lifetime bound: a column re-signatures at most
+# max_cap/2048 = 8 times before it either saturates or overflows to
+# direct (fixed-cardinality schemas saturate in batch 1; steadily-growing
+# ones pay <= 8 extra compiles per column, amortized by the persistent
+# --fwt_compile_cache)
 
 
 def table_counts(slim: dict, vocabs: tuple, idx_sizes, row_broadcasts: tuple):
@@ -603,8 +606,9 @@ def unpack_row(row: jnp.ndarray, layout: PackedLayout,
         vocab_idx[key] = (idxs, bases)
     for spec in layout.count_tabs:
         # multiplicity codes: dictionary columns read the u8 shadow table
-        # at their packed tab slot (tab bases in the spec; legacy 2-tuple
-        # layouts from pre-change pack caches reuse the vocab bases);
+        # at their packed tab slot (tab bases in the spec; a 2-tuple spec
+        # without them — hand-built layouts — reuses the vocab bases; v1
+        # pack caches are version-rejected before reaching here);
         # direct columns take the next per-entry column of the narrowed
         # ckey array (see table_counts)
         ckey, idkey = spec[0], spec[1]

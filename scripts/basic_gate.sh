@@ -149,7 +149,17 @@ for ns in "ABCDEFGHIJKL":
     ER += ["--keep", ns]
 m, p = str(CD / "er10m.fw"), str(CD / "er10m_test.out")
 t0 = time.time()
-assert cli_main(ER + ["--data", str(tr), "-f", m, "--save_resume"]) == 0
+try:
+    assert cli_main(ER + ["--data", str(tr), "-f", m, "--save_resume"]) == 0
+except RuntimeError as e:
+    # the axon tunnel has TWO down modes: an indefinite hang (handled by
+    # the outer timeout) and a fast backend-init failure — both mean
+    # "device unreachable", not a code regression; exit EX_TEMPFAIL so
+    # the shell takes the persisted-result fallback
+    if "Unable to initialize backend" in str(e) or "UNAVAILABLE" in str(e):
+        print(f"device backend unavailable: {e}", file=sys.stderr)
+        sys.exit(75)
+    raise
 t_train = time.time() - t0
 t0 = time.time()
 assert cli_main(ER + ["--data", str(te), "-t", "-i", m, "-p", p]) == 0
@@ -174,8 +184,9 @@ assert ll > 0.55, ll  # sanity: not degenerate/leaked
 EOF4
 G4=$?
 set -e
-if [ "$G4" -eq 124 ] || [ "$G4" -eq 137 ]; then
-    # timeout-killed (device unreachable): fall back to the persisted
+if [ "$G4" -eq 124 ] || [ "$G4" -eq 137 ] || [ "$G4" -eq 75 ]; then
+    # timeout-killed or fast backend-init failure (device unreachable
+    # either way): fall back to the persisted
     # result of the last successful full-scale run (fails if none, or
     # off-gate). Any OTHER nonzero exit is a real failure and must fail
     # the gate — the fallback must not mask code regressions.

@@ -11,7 +11,8 @@ while true; do
   if timeout 120 python scripts/tunnel_probe.py >> .bench_cache/probe_ok.log 2>&1; then
     echo "$(date +%H:%M:%S) probe $n: TUNNEL UP — running tpu_abs.sh" >> "$L"
     bash scripts/tpu_abs.sh >> .bench_cache/r3_abs/run_$(date +%H%M%S).log 2>&1
-    echo "$(date +%H:%M:%S) tpu_abs.sh done (exit $?)" >> "$L"
+    rc=$?  # capture BEFORE the $(date) substitution below resets it
+    echo "$(date +%H:%M:%S) tpu_abs.sh done (exit $rc)" >> "$L"
     exit 0
   fi
   echo "$(date +%H:%M:%S) probe $n: tunnel down" >> "$L"

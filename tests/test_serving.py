@@ -410,3 +410,68 @@ def test_bind_failure_raises_oserror():
         assert not isinstance(ei.value, AttributeError)
     finally:
         a.server_close()
+
+
+@pytest.mark.parametrize("engine", ["device", "native"])
+def test_whitespace_only_line_closes_cleanly(tmp_path, engine):
+    """A whitespace-only line (b'  \\n') ends the stream cleanly on BOTH
+    engines — the C parser classifies it an error, but the wire contract
+    treats any blank line as end-of-stream (no ERR reply)."""
+    if engine == "native":
+        from fwumious_wabbit_tpu import native
+
+        if native.load() is None:
+            pytest.skip("no native toolchain")
+    args, mi, vw, model, params, mpath = build(tmp_path, train_steps=3)
+    args.fwt_serve_engine = engine
+    srv = Serving(args, mi, vw, model, params,
+                  model_path=mpath if engine == "native" else None)
+    from fwumious_wabbit_tpu.serve import server as server_mod
+
+    s = server_mod._PooledTCPServer(("127.0.0.1", 0), server_mod._Handler, 2)
+    s.fwt_serving = srv
+    srv._server = s
+    import threading
+
+    threading.Thread(target=s.serve_forever, daemon=True).start()
+    port = s.server_address[1]
+    try:
+        c = Client(port)
+        one = c.send(b"1 |A cat |B milk\n")
+        assert one.endswith(b"\n") and not one.startswith(b"ERR")
+        c.sock.sendall(b"  \n")
+        rest = c.sock.recv(4096)
+        assert rest == b""  # clean close, no ERR reply
+        c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_predict_examples_shape_stable(tmp_path):
+    """Arbitrary burst sizes must not each compile a fresh device program:
+    predict_examples pads chunks to the batcher's fixed batch size, so the
+    jitted predict sees ONE batch shape across burst sizes."""
+    from fwumious_wabbit_tpu.ingest.parser import VowpalParser
+    from fwumious_wabbit_tpu.ingest.translator import FeatureTranslator
+
+    args, mi, vw, model, params, _ = build(tmp_path, train_steps=2)
+    args.fwt_serve_engine = "device"
+    srv = Serving(args, mi, vw, model, params)
+    parser = VowpalParser(vw)
+    ft = FeatureTranslator(mi)
+    ex = ft.translate(parser.parse_line(b"1 |A cat |B milk\n"))
+    shapes = set()
+    orig = srv.predictor._predict
+
+    def spy(p, bd):
+        shapes.add(bd["label"].shape)
+        return orig(p, bd)
+
+    srv.predictor._predict = spy
+    singles = [float(srv.predictor.predict_examples([ex])[0])
+               for _ in range(2)]
+    for n in (1, 3, 7, 50, 300):
+        preds = srv.predictor.predict_examples([ex] * n)
+        assert preds.shape == (n,)
+        assert all(float(p) == singles[0] for p in preds)
+    assert len(shapes) == 1, shapes  # one compiled shape for every burst
