@@ -340,6 +340,21 @@ class Serving:
         if self.predictor is None and self.native_predictor is None:
             raise RuntimeError(
                 "native-only serving requested but the engine failed to load")
+        if self.native_predictor is None and self.predictor is not None:
+            # device engine will serve: compile the predict program NOW so
+            # the first request doesn't stall 20-40 s behind the XLA
+            # compile (predict_examples pads to the fixed batch shape, so
+            # this one warm call covers every burst size)
+            from ..ingest.translator import TranslatedExample
+
+            ffm = bool(getattr(mi, "ffm_k", 0))
+            dummy = TranslatedExample(
+                0.0, 0.0, [0], [0.0], [0],
+                [0] if ffm else [], [0.0] if ffm else [], [0] if ffm else [])
+            try:
+                self.predictor.predict_examples([dummy])
+            except Exception as e:  # noqa: BLE001
+                log.warning("predict warm-compile failed: %s", e)
         self._server = None
 
     def serve(self, host: str = "127.0.0.1") -> None:
