@@ -475,3 +475,58 @@ def test_predict_examples_shape_stable(tmp_path):
         assert preds.shape == (n,)
         assert all(float(p) == singles[0] for p in preds)
     assert len(shapes) == 1, shapes  # one compiled shape for every burst
+
+
+@pytest.mark.parametrize("engine", ["device", "native"])
+def test_burst_segmentation_fuzz(tmp_path, engine):
+    """Property test: ANY segmentation of the same byte stream into sends
+    must produce the same reply stream (the drain-and-reply handler's
+    behavior is a function of the bytes, not of TCP framing). Streams mix
+    predictions, flush commands, and a hogwild_load."""
+    if engine == "native":
+        from fwumious_wabbit_tpu import native
+
+        if native.load() is None:
+            pytest.skip("no native toolchain")
+    import random
+
+    args, mi, vw, model, params, mpath = build(tmp_path, train_steps=4)
+    args.fwt_serve_engine = engine
+    srv = Serving(args, mi, vw, model, params,
+                  model_path=mpath if engine == "native" else None)
+    from fwumious_wabbit_tpu.serve import server as server_mod
+
+    s = server_mod._PooledTCPServer(("127.0.0.1", 0), server_mod._Handler, 2)
+    s.fwt_serving = srv
+    srv._server = s
+    import threading
+
+    threading.Thread(target=s.serve_forever, daemon=True).start()
+    port = s.server_address[1]
+    vocab = [b"1 |A cat |B milk\n", b"-1 |A dog |B stone\n",
+             b"|A cat |B stone\n", b"flush\n",
+             b"hogwild_load %s\n" % str(mpath).encode()]
+    rng = random.Random(7)
+    try:
+        for trial in range(6):
+            stream = b"".join(rng.choice(vocab) for _ in range(40))
+            n_preds = stream.count(b"|A")
+            n_hog = stream.count(b"hogwild_load")
+            want = n_preds + n_hog
+            replies = []
+            for seg in range(2):
+                c = Client(port)
+                if seg == 0:  # one burst
+                    c.sock.sendall(stream)
+                else:  # random segmentation with tiny pauses
+                    i = 0
+                    while i < len(stream):
+                        j = min(len(stream), i + rng.randint(1, 37))
+                        c.sock.sendall(stream[i:j])
+                        i = j
+                replies.append(b"".join(_recv_lines(c.sock, want)))
+                c.close()
+            assert replies[0] == replies[1], f"trial {trial}"
+            assert replies[0].count(b"hogwild_load success") == n_hog
+    finally:
+        srv.shutdown()
