@@ -726,6 +726,24 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 except OSError as e:
                     log.warning("pack cache disabled (%s)", e)
 
+        # --- adaptive vocab (only --fwt_vocab auto): the dictionary encode
+        # costs producer CPU (~0.24 µs/ex measured) to shrink the uplink
+        # payload ~1.55×. Which side wins depends on the live tunnel
+        # window: producer-bound runs on fast links should drop the encode,
+        # transfer-bound runs must keep it. The transferrer publishes
+        # starvation + bandwidth; the producer flips the encoder off
+        # ONE-WAY when (a) the transferrer mostly starves waiting on the
+        # producer AND (b) the predicted no-vocab floor min(producer,
+        # transfer) clears the current floor with 1.2× hysteresis. A flip
+        # re-signatures the layout (one extra compile, usually served by
+        # the persistent compile cache).
+        _xfer_stats = {"starve_s": 0.0, "xfer_s": 0.0, "put_s": 0.0,
+                       "bytes": 0}
+        _vflip_env = os.environ.get("FWT_VOCAB_FLIP", "auto")
+        _vocab_adaptive = (vocab_state is not None and _vflip_env != "off"
+                           and (getattr(args, "fwt_vocab", "auto") or "auto")
+                           == "auto")
+
         def producer():
             pq = q
             if pack_writer is not None:
@@ -741,6 +759,50 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 group: list = []
                 glay = None
                 seen = 0
+                # adaptive-vocab accounting (full superbatches only)
+                vstat = {"probe": None, "t_work": 0.0, "t_put": 0.0,
+                         "ex": 0, "groups": 0, "t_mark": time.perf_counter()}
+
+                def _maybe_flip_vocab():
+                    """One-way: disable the dictionary encode when the
+                    producer is the certified pipeline floor and the fatter
+                    plain payload would not become a worse one."""
+                    if not _vocab_adaptive or vocab_state.disabled:
+                        return
+                    if _vflip_env == "force":
+                        vocab_state.disabled = True
+                        log.info("adaptive vocab: encode disabled (forced)")
+                        return
+                    if vstat["probe"] is None or vstat["groups"] < 8:
+                        return
+                    dt_prep, s_off = vstat["probe"]
+                    t_work = vstat["t_work"] - vstat["t_put"]
+                    if t_work <= 0 or vstat["ex"] == 0:
+                        return
+                    p_on = vstat["ex"] / t_work
+                    t_off = t_work - dt_prep * vstat["groups"] * K
+                    p_off = vstat["ex"] / max(t_off, 1e-9)
+                    st = _xfer_stats
+                    busy = st["starve_s"] + st["xfer_s"] + st["put_s"]
+                    if busy <= 0 or st["xfer_s"] <= 0 or st["bytes"] == 0:
+                        return
+                    starve_frac = st["starve_s"] / busy
+                    bw = st["bytes"] / st["xfer_s"]  # payload B/s over the link
+                    s_on = st["bytes"] / vstat["ex"]
+                    r_on = bw / s_on
+                    r_off = bw / max(s_off, 1.0)
+                    if starve_frac > 0.6 and \
+                            min(p_off, r_off) > 1.2 * min(p_on, r_on):
+                        vocab_state.disabled = True
+                        log.info(
+                            "adaptive vocab: encode disabled (producer-bound:"
+                            " starve %.0f%%, producer %.0fk→%.0fk ex/s,"
+                            " transfer %.0fk→%.0fk ex/s at %.1f MB/s)",
+                            100 * starve_frac, p_on / 1e3, p_off / 1e3,
+                            r_on / 1e3, r_off / 1e3, bw / 1e6)
+                    # reset the window either way: decisions use fresh data
+                    vstat.update(t_work=0.0, t_put=0.0, ex=0, groups=0)
+                    st.update(starve_s=0.0, xfer_s=0.0, put_s=0.0, bytes=0)
 
                 def flush_group():
                     nonlocal group, glay
@@ -753,9 +815,17 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                                 vocab_state.venc, glay.vocabs[0])
                             vocab_state.venc.clear_dirty()
                             pq.put(("v", snap))
-                        pq.put(("p",
-                                packed_mod.pack(glay, [g[1] for g in group]),
-                                glay, K * batch_size))
+                        buf = packed_mod.pack(glay, [g[1] for g in group])
+                        _tp = time.perf_counter()
+                        pq.put(("p", buf, glay, K * batch_size))
+                        _now = time.perf_counter()
+                        vstat["t_put"] += _now - _tp
+                        vstat["t_work"] += _now - vstat["t_mark"]
+                        vstat["t_mark"] = _now
+                        vstat["ex"] += K * batch_size
+                        vstat["groups"] += 1
+                        if glay.vocabs:
+                            _maybe_flip_vocab()
                     else:
                         # short tail: unpacked (a K'-sized packed step would
                         # compile a whole new program for one group) — use
@@ -763,6 +833,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                         # meaningful through unpack_row's reconstruction
                         for orig, _slim in group:
                             pq.put(("s", orig, batch_size))
+                        vstat["t_mark"] = time.perf_counter()
                     group, glay = [], None
 
                 for bd, n in native_batch_stream(args, mi, vw, batch_size,
@@ -774,10 +845,26 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                         # constant-feature column elision + id bit-packing
                         # + vocab indexing: pure transfer savings, undone
                         # device-side (packed.py unpack_row)
+                        _t0 = time.perf_counter()
                         slim, *spec = packed_mod.prepare_for_transfer(
                             bd, mi, bitpack=bitpack_on,
                             vocab_state=vocab_state)
+                        _t_on = time.perf_counter() - _t0
                         lay = packed_mod.layout_of(slim, *spec)
+                        if _vocab_adaptive and vstat["probe"] is None \
+                                and vstat["groups"] >= 1 \
+                                and lay is not None and lay.vocabs:
+                            # one-time probe: the plain (no-vocab) prepare's
+                            # cost and payload, for the flip arithmetic
+                            _t0 = time.perf_counter()
+                            plain, *pspec = packed_mod.prepare_for_transfer(
+                                bd, mi, bitpack=bitpack_on, vocab_state=None)
+                            _t_off = time.perf_counter() - _t0
+                            _play = packed_mod.layout_of(plain, *pspec)
+                            if _play is not None:
+                                vstat["probe"] = (
+                                    max(_t_on - _t_off, 0.0) / batch_size,
+                                    _play.words * 4 / batch_size)
                     if lay is not None and (
                             glay is None or lay.signature == glay.signature):
                         group.append((bd, slim))
@@ -799,13 +886,21 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         def transferrer():
             try:
                 while True:
+                    _t0 = time.perf_counter()
                     item = q.get()
+                    _xfer_stats["starve_s"] += time.perf_counter() - _t0
                     if item is None or isinstance(item, BaseException):
                         q2.put(item)
                         return
                     if item[0] == "p":
                         _, buf, lay, gn = item
-                        q2.put(("p", jax.device_put(buf), lay, gn))
+                        _t0 = time.perf_counter()
+                        dbuf = jax.device_put(buf)
+                        _xfer_stats["xfer_s"] += time.perf_counter() - _t0
+                        _xfer_stats["bytes"] += buf.nbytes
+                        _t0 = time.perf_counter()
+                        q2.put(("p", dbuf, lay, gn))
+                        _xfer_stats["put_s"] += time.perf_counter() - _t0
                     elif item[0] == "v":
                         q2.put(("v", jax.device_put(item[1])))
                     else:

@@ -546,3 +546,37 @@ def test_bitpack_labels_unit():
     assert packed_mod.bitpack_labels(
         {"label": lab.astype(np.int32)})[1] == ()  # wrong dtype
     assert packed_mod.bitpack_labels({})[1] == ()
+
+
+def test_adaptive_vocab_flip_identical(tmp_path, monkeypatch):
+    """Adaptive vocab (--fwt_vocab auto): the producer may disable the
+    dictionary encode mid-run when it is the pipeline floor. Forced here
+    via FWT_VOCAB_FLIP=force (flip at the first full superbatch); the
+    written predictions and model must be byte-identical to both the
+    never-flip and the never-vocab runs (the encode is pure transfer
+    compression)."""
+    from fwumious_wabbit_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+
+    gen_dataset(tmp_path, n_train=6000, n_eval=10)
+    base = FLAGS + ["--data", str(tmp_path / "train.vw"), "--save_resume",
+                    "--fwt_superbatch", "2", "--fwt_batch_size", "512",
+                    "--fwt_pack_cache", "off"]
+    outs = {}
+    for name, extra, env in [
+        ("vocab", ["--fwt_vocab", "on"], None),
+        ("plain", ["--fwt_vocab", "off"], None),
+        ("flip", [], "force"),
+    ]:
+        if env is not None:
+            monkeypatch.setenv("FWT_VOCAB_FLIP", env)
+        else:
+            monkeypatch.delenv("FWT_VOCAB_FLIP", raising=False)
+        p, m = tmp_path / f"{name}.preds", tmp_path / f"{name}.model"
+        run_cli(base + extra + ["-p", str(p), "-f", str(m)])
+        outs[name] = (p.read_text(), m.read_bytes())
+    assert outs["vocab"][0] == outs["plain"][0] == outs["flip"][0]
+    assert outs["vocab"][1] == outs["plain"][1] == outs["flip"][1]
+    assert len(outs["flip"][0]) > 0
