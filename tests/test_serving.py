@@ -530,3 +530,66 @@ def test_burst_segmentation_fuzz(tmp_path, engine):
             assert replies[0].count(b"hogwild_load success") == n_hog
     finally:
         srv.shutdown()
+
+
+def test_burst_soak_under_hot_swap(tmp_path):
+    """4 concurrent PIPELINED clients (full bursts through the block-predict
+    path) while another client hot-swaps models — every client gets exactly
+    one in-order well-formed reply per line, no errors."""
+    from fwumious_wabbit_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    import threading
+
+    from fwumious_wabbit_tpu.serve import server as server_mod
+
+    args, mi, vw, model, params, mpath = build(tmp_path)
+    m0 = mpath.with_name("gen0.fwt")
+    mpath.rename(m0)
+    _, _, _, _, _p, m1 = build(tmp_path, train_steps=3)
+    srv = Serving(args, mi, vw, model, params, model_path=m0)
+    s = server_mod._PooledTCPServer(("127.0.0.1", 0), server_mod._Handler, 8)
+    s.fwt_serving = srv
+    srv._server = s
+    threading.Thread(target=s.serve_forever, daemon=True).start()
+    port = s.server_address[1]
+    errors = []
+
+    def burst_client(k):
+        try:
+            for r in range(6):
+                n = 150 + 50 * (k % 3)
+                lines = [f"|A a{k}_{r}_{i} |B b{i}\n".encode()
+                         for i in range(n)]
+                c = Client(port)
+                c.sock.sendall(b"".join(lines))
+                got = _recv_lines(c.sock, n)
+                assert len(got) == n
+                for g in got:
+                    v = float(g)
+                    assert 0.0 <= v <= 1.0
+                c.close()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def swapper():
+        try:
+            c = Client(port)
+            for i in range(20):
+                path = m1 if i % 2 == 0 else m0
+                out = c.send(f"hogwild_load {path}\n".encode())
+                assert out == b"hogwild_load success\n", out
+            c.close()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=burst_client, args=(k,))
+               for k in range(4)]
+    threads.append(threading.Thread(target=swapper))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    srv.shutdown()
+    assert not errors, errors
