@@ -29,6 +29,73 @@ import numpy as np
 ROOT = Path(__file__).resolve().parent
 CACHE_DIR = ROOT / ".bench_cache"
 BASELINE = 500_000.0  # reference end-to-end train ex/s, BENCHMARK.md:18
+BENCH_T0 = time.time()  # all window timestamps are relative to this
+V5E_HBM_B_S = 819e9  # TPU v5e peak HBM bandwidth (public spec: 819 GB/s)
+
+
+def current_rss_mb() -> float:
+    """Instantaneous RSS (VmRSS) in MB — phase-boundary sampling."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024.0, 1)
+    except OSError:
+        pass
+    return -1.0
+
+
+def summarize_counters(c: dict, n: int, t_run_start: float) -> dict:
+    """One timed run's in-window pipeline summary, computed ONLY from
+    counters the run's own threads accumulated inside the timed window
+    (train/loop.py run_train_loop `ctr`) — stage rates measured in
+    separate windows on a link that swings 10x made the old
+    pipeline_efficiency incoherent (BENCH_r03: 0.602 headline vs 1.3
+    same-window). Here, by construction, every stage's busy time is
+    <= elapsed, so efficiency = max_stage_busy / elapsed is in (0, 1]
+    and end_to_end <= min_stage_rate always holds.
+
+    Stages: producer (C++ ingest + slim + pack), transfer (device_put
+    wall time), device (step dispatch + the writer's fetch force — on
+    this platform only a host fetch forces completion, so fetch_force_s
+    is the observable device+downlink wait)."""
+    el = c.get("elapsed_s", 0.0) or 1e-9
+    stages = {
+        "producer": c.get("producer_busy_s", 0.0),
+        "transfer": c.get("xfer_busy_s", 0.0),
+        "device": c.get("dispatch_s", 0.0) + c.get("fetch_force_s", 0.0),
+    }
+    bottleneck = max(stages, key=stages.get)
+    busy = stages[bottleneck]
+    xb = c.get("xfer_busy_s", 0.0)
+    out = {
+        "ex_s": round(n / el),
+        "window_s": [round(t_run_start - BENCH_T0, 1),
+                     round(t_run_start - BENCH_T0 + el, 1)],
+        "elapsed_s": round(el, 2),
+        "payload_b_per_ex": round(c.get("xfer_bytes", 0) / max(n, 1), 2),
+        "in_run_link_mb_s": round(
+            c.get("xfer_bytes", 0) / max(xb, 1e-9) / 1e6, 1) if xb else None,
+        "stage_busy_s": {k: round(v, 2) for k, v in stages.items()},
+        "stage_ex_s": {k: (round(n / v) if v > 0.05 else None)
+                       for k, v in stages.items()},
+        "stalls_s": {
+            "producer_put": round(c.get("producer_stall_s", 0.0), 2),
+            "transfer_starve": round(c.get("xfer_starve_s", 0.0), 2),
+            "consumer_starve": round(c.get("consumer_starve_s", 0.0), 2),
+            "writer_backpressure": round(c.get("writer_stall_s", 0.0), 2),
+        },
+        "fetch": {"count": c.get("fetch_count", 0),
+                  "force_s": round(c.get("fetch_force_s", 0.0), 2),
+                  "bytes": c.get("fetch_bytes", 0)},
+        "bottleneck": bottleneck,
+        "min_stage_ex_s": round(n / busy) if busy > 0 else None,
+        "pipeline_efficiency": round(busy / el, 3),
+        # fraction of the run's wall clock the uplink was actively moving
+        # payload — the link-utilization half of the roofline story
+        "link_util": round(xb / el, 3),
+    }
+    return out
 
 
 def generate_dataset(path: Path, rows: int, feature_variety=1000,
@@ -88,6 +155,10 @@ def ensure_dataset(rows: int) -> Path:
     return data
 
 
+class _SkipProbe(Exception):
+    pass
+
+
 def peak_rss_mb() -> float:
     """Process peak RSS (VmHWM) in MB — the reference's benchmark publishes
     max PSS per mode (reference: benchmark/measure.py; 258 MB train /
@@ -100,6 +171,47 @@ def peak_rss_mb() -> float:
     except OSError:
         pass
     return -1.0
+
+
+def _rss_phase(store: dict, name: str) -> None:
+    """Record [VmRSS now, VmHWM so far] MB at a phase boundary — the
+    peak-RSS decomposition VERDICT r3 #6 asked for: which phase drives
+    the high-water mark (reference train mode: 258 MB, BENCHMARK.md:18;
+    this process runs ALL modes, so its own HWM conflates them —
+    train_only_rss_mb below is the apples-to-apples number)."""
+    store.setdefault("rss_phases_mb", {})[name] = [current_rss_mb(),
+                                                   peak_rss_mb()]
+
+
+def train_only_rss_mb(rows: int) -> float | None:
+    """Peak RSS (VmHWM) of ONE train pass in a fresh process — the
+    reference's benchmark measures each mode as its own process
+    (reference: benchmark/measure.py), so this is the comparable number.
+    Uses the persistent compile cache; warm page cache from the parent."""
+    import subprocess
+
+    code = (
+        "import sys\n"
+        "sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "from fwumious_wabbit_tpu.train.loop import main as cli_main\n"
+        "from fwumious_wabbit_tpu.train.loop import configure_compile_cache\n"
+        "configure_compile_cache()\n"
+        "argv = [str(a) for a in bench._base_argv(bench.ensure_dataset(%d))]\n"
+        "assert cli_main(argv) == 0\n"
+        "print('HWM', bench.peak_rss_mb())\n" % (str(ROOT), rows)
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=240)
+        for line in r.stdout.splitlines():
+            if line.startswith("HWM "):
+                return float(line.split()[1])
+        print(f"# train-only rss probe: no HWM line (rc={r.returncode}) "
+              f"{r.stderr[-300:]}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# train-only rss probe failed: {e}", file=sys.stderr)
+    return None
 
 
 def _base_argv(data: Path, batch_size: int = 32768):
@@ -227,18 +339,22 @@ def host_only_probes(rows: int, args, mi, vw) -> dict:
     except Exception as e:  # noqa: BLE001
         print(f"# quantize probe failed: {e}", file=sys.stderr)
 
-    try:
-        with open(CACHE_DIR / "eat_rate_10m.json") as f:
-            out["eat_rate_10m"] = json.load(f)
-    except (OSError, ValueError):
-        pass
+    for p in (CACHE_DIR / "eat_rate_10m.json",
+              ROOT / "docs" / "evidence" / "eat_rate_10m.json"):
+        try:
+            with open(p) as f:
+                out["eat_rate_10m"] = json.load(f)
+            break
+        except (OSError, ValueError):
+            pass
 
     print(f"# host-only: ingest {out.get('host_ingest_ex_s', 0):,} ex/s, "
           f"predict {out.get('predict_ex_s', 'n/a')} ex/s", file=sys.stderr)
     return out
 
 
-def bench_decomposition(rows: int) -> dict:
+def bench_decomposition(rows: int, extra_argv: tuple = (),
+                        probe_cache: bool = True) -> dict:
     """Split the end-to-end pipeline into its serial resources so a
     tunnel-bound environment is provable rather than asserted:
 
@@ -265,7 +381,7 @@ def bench_decomposition(rows: int) -> dict:
     K = 8
     n = min(rows, 500_000)
     data = ensure_dataset(rows)
-    args = build_parser().parse_args(_base_argv(data))
+    args = build_parser().parse_args(_base_argv(data) + list(extra_argv))
     vw = VwNamespaceMap.from_dataset_dir(args.data)
     mi = ModelInstance.from_cmdline(args, vw)
 
@@ -289,6 +405,8 @@ def bench_decomposition(rows: int) -> dict:
     # are read pre-parsed; only translate+fill+counts remain)
     cache_ingest_ex_s = None
     try:
+        if not probe_cache:
+            raise _SkipProbe  # caller opted out (e.g. FFM variant)
         cargs = build_parser().parse_args(_base_argv(data) + ["-c"])
         count_c = 0
         for _bd, k in native_batch_stream(cargs, mi, vw, 32768,
@@ -304,6 +422,8 @@ def bench_decomposition(rows: int) -> dict:
             if count_c >= n:
                 break
         cache_ingest_ex_s = count_c / (time.perf_counter() - t0)
+    except _SkipProbe:
+        pass
     except Exception as e:  # noqa: BLE001
         print(f"# cache-ingest probe failed: {e}", file=sys.stderr)
 
@@ -372,6 +492,25 @@ def bench_decomposition(rows: int) -> dict:
         best = min(best, time.perf_counter() - t0)
     step_ex_s = reps_s * K * 32768 / best
 
+    # -- HBM roofline for the step (VERDICT r3 #4): useful table-row bytes
+    # the step must move per superbatch — per id slot, one [128]f32 row
+    # (512 B) x 4 passes (forward w read is assumed reused by the update;
+    # acc read, w write, acc write, + the update's w read) — divided by
+    # the device-resident step time, against the v5e HBM peak (819 GB/s).
+    # A LOWER bound on traffic (dedup shrinks it, scatter internals and
+    # dense work grow it); low utilization = the step is dispatch/latency
+    # bound, not bandwidth bound, at this table scale.
+    bd0 = staged[0]
+    lr_slots = int(np.asarray(bd0["lr_ids"]).size)
+    ffm_slots = int(np.asarray(bd0["ffm_ids"]).size) if "ffm_ids" in bd0 else 0
+    rps = 1
+    if ffm_slots and getattr(model, "has_ffm", False):
+        rps = model.ffm_spec.rows_per_slab
+    touched = (lr_slots * 4 * 512 + ffm_slots * 4 * 512 * rps) * K
+    step_s_per_superbatch = best / reps_s
+    hbm_gb_s = touched / step_s_per_superbatch / 1e9
+    hbm_util = hbm_gb_s * 1e9 / V5E_HBM_B_S
+
     # -- prediction fetch: one [K, B] D2H per superbatch
     t0 = time.perf_counter()
     _ = np.asarray(preds)
@@ -398,6 +537,9 @@ def bench_decomposition(rows: int) -> dict:
         "device_roundtrip_ms": round(rt_ms, 2),
         "batch_bytes": batch_bytes,
         "superbatch": K,
+        "hbm_touched_mb_per_superbatch": round(touched / 1e6, 1),
+        "hbm_gb_s": round(hbm_gb_s, 1),
+        "hbm_util": round(hbm_util, 4),
     }
     if cache_ingest_ex_s is not None:
         out["cache_ingest_ex_s"] = round(cache_ingest_ex_s)
@@ -436,8 +578,11 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     # and these rows — predict via the native engine, ingest rates, the
     # quantizer — are real baseline evidence that need no device at all
     host = {}
+    rssp: dict = {}
+    _rss_phase(rssp, "model_init")
     try:
         host.update(host_only_probes(rows, args, mi, vw))
+        _rss_phase(rssp, "host_probes")
         # If the device phases never complete (wedged tunnel → watchdog
         # kill), this partial becomes the round's JSON line — lead with the
         # strongest REAL measurement it holds: native-engine predict, which
@@ -476,6 +621,7 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     wargs = build_parser().parse_args(
         [a if a != str(data) else str(warm) for a in argv])
     run_train_loop(wargs, mi, vw, model)
+    _rss_phase(rssp, "warm_train")
 
     # 3 passes: report mean/σ like the reference's benchmark tables
     # (reference: benchmark/benchmark.py 3-run means), and best-of — the
@@ -527,7 +673,9 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     except Exception as e:  # noqa: BLE001
         print(f"# transfer-probe setup failed: {e}", file=sys.stderr)
 
-    def probe_transfer():
+    def probe_link_mb_s():
+        """Raw device_put bandwidth at this moment (window metadata for
+        the adjacent timed run — the tunnel swings 10x minute to minute)."""
         if probe_buf is None:
             return None
         import jax
@@ -536,16 +684,18 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         o = jax.device_put(probe_buf)
         _ = np.asarray(o[:1, :1])
         dt = time.perf_counter() - t0
-        return 8 * 32768 / dt
+        return round(probe_buf.nbytes / dt / 1e6, 1)
 
     runs = []
-    run_transfer = []
+    run_details = []
     for _ in range(3):
+        t_run = time.time()
         result = run_train_loop(args, mi, vw, model)
         runs.append(result["examples"] / result["elapsed"])
-        tr = probe_transfer()
-        if tr is not None:
-            run_transfer.append(round(tr))
+        det = summarize_counters(result.get("counters", {}),
+                                 result["examples"], t_run)
+        det["probe_link_mb_s"] = probe_link_mb_s()
+        run_details.append(det)
         if result["elapsed"] > 45.0:
             break
     ex_s = max(runs)
@@ -553,22 +703,31 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     std = float(np.std(runs))
     print(f"# end-to-end train: best {ex_s:,.0f}, mean {mean:,.0f} ± "
           f"{std:,.0f} ex/s over {len(runs)} runs", file=sys.stderr)
+    for d in run_details:
+        print(f"# run window {d['window_s']}: {d['ex_s']:,} ex/s, "
+              f"bottleneck {d['bottleneck']} "
+              f"(min-stage {d['min_stage_ex_s']:,}/s), efficiency "
+              f"{d['pipeline_efficiency']}, link {d['in_run_link_mb_s']} "
+              f"MB/s in-run / {d['probe_link_mb_s']} MB/s probe, "
+              f"payload {d['payload_b_per_ex']} B/ex", file=sys.stderr)
 
+    _rss_phase(rssp, "timed_runs")
     extras = {
         "mean": round(mean, 1),
         "std": round(std, 1),
         "runs": [round(r, 1) for r in runs],
         "best": round(ex_s, 1),
         "vs_baseline_best": round(ex_s / BASELINE, 3),
+        "run_details": run_details,
+        # headline efficiency/utilization: in-run counters, same window as
+        # the rate they qualify (mean over the timed runs)
+        "pipeline_efficiency": round(float(np.mean(
+            [d["pipeline_efficiency"] for d in run_details])), 3),
+        "link_util": round(float(np.mean(
+            [d["link_util"] for d in run_details])), 3),
+        "payload_b_per_ex": run_details[-1]["payload_b_per_ex"],
         **host,
     }
-    if run_transfer:
-        extras["run_transfer_ex_s"] = run_transfer
-        # per-run efficiency vs the transfer rate of the SAME window (the
-        # swinging term; ingest/step are stable and higher)
-        eff = [round(r / t, 3) for r, t in zip(runs, run_transfer) if t > 0]
-        if eff:
-            extras["pipeline_efficiency_same_window"] = max(eff)
 
     def checkpoint():
         # headline value/vs_baseline use the MEAN — the reference's table is
@@ -591,8 +750,12 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     if result["elapsed"] <= 45.0:
         pargs = build_parser().parse_args(argv + ["-c"])
         run_train_loop(pargs, mi, vw, model)       # builds the cache
+        t_run = time.time()
         r = run_train_loop(pargs, mi, vw, model)   # trains from the cache
         extras["cache_train_ex_s"] = round(r["examples"] / r["elapsed"])
+        extras["cache_train_detail"] = summarize_counters(
+            r.get("counters", {}), r["examples"], t_run)
+        _rss_phase(rssp, "cache_train")
         checkpoint()
         print(f"# cache-train: {r['examples']/r['elapsed']:,.0f} ex/s (ref 788k)",
               file=sys.stderr)
@@ -614,6 +777,7 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
                 pruns.append(rows / (time.perf_counter() - t0))
             extras["predict_ex_s"] = round(float(np.mean(pruns)))
             extras["predict_runs"] = [round(r) for r in pruns]
+            _rss_phase(rssp, "predict")
             checkpoint()
             print(f"# predict (-t -i, 3-run mean): {np.mean(pruns):,.0f} "
                   f"ex/s (ref 592k)", file=sys.stderr)
@@ -631,17 +795,46 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         fmi = ModelInstance.from_cmdline(fargs, vw)
         fmodel = FwModel(fmi, precision="default")
         run_train_loop(fargs, fmi, vw, fmodel)     # warm (reuses cache)
+        t_run = time.time()
         r = run_train_loop(fargs, fmi, vw, fmodel)
         extras["ffm_train_ex_s"] = round(r["examples"] / r["elapsed"])
+        extras["ffm_detail"] = summarize_counters(
+            r.get("counters", {}), r["examples"], t_run)
+        d = extras["ffm_detail"]
+        _rss_phase(rssp, "ffm_train")
         checkpoint()
         print(f"# ffm-train (k=8, cache): {r['examples']/r['elapsed']:,.0f} "
-              f"ex/s (reference has no published FFM number)", file=sys.stderr)
+              f"ex/s — bottleneck {d['bottleneck']} (min-stage "
+              f"{d['min_stage_ex_s']}/s), payload {d['payload_b_per_ex']} "
+              f"B/ex, efficiency {d['pipeline_efficiency']} "
+              f"(target: docs/FFM_PERF.md)", file=sys.stderr)
 
     try:
         extras["decomposition"] = bench_decomposition(rows)
         checkpoint()
     except Exception as e:  # noqa: BLE001 — decomposition is diagnostic
         print(f"# decomposition failed: {e}", file=sys.stderr)
+
+    # FFM-mode decomposition (VERDICT r3 #3): same ingest/transfer/step
+    # split for the k=8 FFM config, so the FFM number has a bottleneck
+    # statement and a payload row like the LR path
+    if result["elapsed"] <= 45.0:
+        try:
+            extras["ffm_decomposition"] = bench_decomposition(
+                rows,
+                extra_argv=("--ffm_k", "8", "--ffm_bit_precision", "25",
+                            "--ffm_field", "A", "--ffm_field", "B"),
+                probe_cache=False)
+            d = extras["ffm_decomposition"]
+            print(f"# ffm decomposition: ingest {d['ingest_ex_s']:,}/s, "
+                  f"transfer {d['transfer_ex_s']:,}/s "
+                  f"({d['batch_bytes']/32768:.1f} B/ex), step "
+                  f"{d['step_ex_s']:,}/s (hbm {d['hbm_gb_s']} GB/s = "
+                  f"{100*d['hbm_util']:.1f}% of v5e peak) → bottleneck: "
+                  f"{d['bottleneck']}", file=sys.stderr)
+            checkpoint()
+        except Exception as e:  # noqa: BLE001 — diagnostic
+            print(f"# ffm decomposition failed: {e}", file=sys.stderr)
 
     if result["elapsed"] <= 45.0:
         try:
@@ -651,11 +844,15 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         except Exception as e:  # noqa: BLE001
             print(f"# device-step failed: {e}", file=sys.stderr)
 
+    _rss_phase(rssp, "end")
+    extras["rss_phases_mb"] = rssp.get("rss_phases_mb", {})
     extras["peak_rss_mb"] = peak_rss_mb()
-    dec = extras.get("decomposition")
-    if dec and dec.get("min_stage_ex_s"):
-        # how much of the slowest stage's rate the pipelined loop realizes
-        extras["pipeline_efficiency"] = round(mean / dec["min_stage_ex_s"], 3)
+    if result["elapsed"] <= 45.0:
+        hwm = train_only_rss_mb(rows)
+        if hwm is not None:
+            extras["train_only_rss_mb"] = hwm
+            print(f"# train-only peak RSS (fresh process, one pass): "
+                  f"{hwm:.0f} MB (ref 258 MB)", file=sys.stderr)
     return {
         "metric": f"end-to-end train examples/s (Eat-Rate benchmark schema, "
                   f"{rows} rows, b=25 AdaGrad, --interactions AB)",

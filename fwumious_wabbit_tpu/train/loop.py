@@ -510,6 +510,27 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     example_num = 0
     t0 = time.time()
 
+    # in-run pipeline counters: busy/stall seconds accumulated INSIDE the
+    # timed window by each stage's own thread, so stage rates and
+    # pipeline efficiency are self-consistent with the end-to-end rate
+    # (probing stages in separate windows on a link that swings 10x made
+    # the old efficiency number incoherent — see bench.py). Identities:
+    #   producer span  ≈ producer_busy_s + producer_stall_s
+    #   transferrer    ≈ xfer_starve_s + xfer_busy_s + xfer_stall_s
+    #   consumer       ≈ consumer_starve_s + dispatch_s + writer_stall_s
+    #   writer         ≈ (queue wait) + fetch_force_s + write_s
+    # fetch_force_s is the device+downlink wait observed by the writer —
+    # on this platform only a host fetch forces step completion, so it is
+    # the in-run proxy for device busy time.
+    ctr = {
+        "producer_busy_s": 0.0, "producer_stall_s": 0.0,
+        "xfer_starve_s": 0.0, "xfer_busy_s": 0.0, "xfer_stall_s": 0.0,
+        "xfer_bytes": 0, "xfer_puts": 0,
+        "consumer_starve_s": 0.0, "dispatch_s": 0.0, "writer_stall_s": 0.0,
+        "fetch_force_s": 0.0, "fetch_count": 0, "fetch_bytes": 0,
+        "write_s": 0.0,
+    }
+
     def finish_run(params):
         """Drain the delay queue + prediction pipeline, log, and build the
         result dict — shared by the single-host and multi-host tails."""
@@ -529,7 +550,8 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         log.info("Elapsed: %.2fs rows: %d (%.0f ex/s)", elapsed, example_num,
                  example_num / max(elapsed, 1e-9))
         return {"params": params, "examples": example_num,
-                "elapsed": elapsed, "a2a_dropped": dropped}
+                "elapsed": elapsed, "a2a_dropped": dropped,
+                "counters": dict(ctr, elapsed_s=elapsed)}
 
     # delayed-learning queue of (batch_dict, n) when --prediction_model_delay
     delayed: list = []
@@ -559,17 +581,23 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 # metas list maps leading rows back to example segments.
                 _t0 = time.perf_counter()
                 arr = np.asarray(preds)
-                _fetch_stats["last_ms"] = (time.perf_counter() - _t0) * 1e3
+                _dt = time.perf_counter() - _t0
+                _fetch_stats["last_ms"] = _dt * 1e3
+                ctr["fetch_force_s"] += _dt
+                ctr["fetch_count"] += 1
+                ctr["fetch_bytes"] += arr.nbytes
+                _t0 = time.perf_counter()
                 if len(metas) > 1:
                     arr = arr.reshape(arr.shape[0], -1)
                     for i, (first_num, n) in enumerate(metas):
                         skip = max(0, predictions_after - first_num + 1)
                         writer.write_block(arr[i, :n][skip:])
-                    continue
-                first_num, n = metas[0]
-                seg = arr.reshape(-1)[:n]
-                skip = max(0, predictions_after - first_num + 1)
-                writer.write_block(seg[skip:])
+                else:
+                    first_num, n = metas[0]
+                    seg = arr.reshape(-1)[:n]
+                    skip = max(0, predictions_after - first_num + 1)
+                    writer.write_block(seg[skip:])
+                ctr["write_s"] += time.perf_counter() - _t0
         except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
             _werr.append(e)
             while _wq.get() is not None:  # unblock the producer
@@ -598,11 +626,13 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         if shard_batch_fn is not None and not placed:
             bd = shard_batch_fn(bd)
 
+        _t1 = time.perf_counter()
         if delay == 0:
             if update and train_step is not None:
                 params, preds = call_train(params, bd)
             else:
                 preds = predict_step(params, bd)
+            ctr["dispatch_s"] += time.perf_counter() - _t1
         else:
             # predict with the lagging model, then train queued batches.
             # NOTE: the reference's delay path trains every delayed example
@@ -628,7 +658,9 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 preds = multihost_utils.process_allgather(preds, tiled=True)
             elif hasattr(preds, "copy_to_host_async"):
                 preds.copy_to_host_async()  # overlap D2H with host work
+            _t1 = time.perf_counter()
             _wq.put((preds, [(first_num, n)]))  # blocks when pipeline is full
+            ctr["writer_stall_s"] += time.perf_counter() - _t1
         if _werr:
             raise _werr[0]
         return params
@@ -745,11 +777,20 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                            == "auto")
 
         def producer():
-            pq = q
+            _pq = q
             if pack_writer is not None:
                 from . import pack_cache as pcache
 
-                pq = pcache.RecordingQueue(q, pack_writer)
+                _pq = pcache.RecordingQueue(q, pack_writer)
+
+            class _TimedQ:  # count queue backpressure as producer stall
+                def put(self, item):
+                    _t = time.perf_counter()
+                    _pq.put(item)
+                    ctr["producer_stall_s"] += time.perf_counter() - _t
+
+            pq = _TimedQ()
+            _span0 = time.perf_counter()
             try:
                 if pack_iter is not None:
                     for item in pack_iter:
@@ -882,13 +923,18 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 pq.put(None)
             except BaseException as e:  # noqa: BLE001 — re-raised downstream
                 pq.put(e)
+            finally:
+                ctr["producer_busy_s"] = (time.perf_counter() - _span0
+                                          - ctr["producer_stall_s"])
 
         def transferrer():
             try:
                 while True:
                     _t0 = time.perf_counter()
                     item = q.get()
-                    _xfer_stats["starve_s"] += time.perf_counter() - _t0
+                    _dt = time.perf_counter() - _t0
+                    _xfer_stats["starve_s"] += _dt
+                    ctr["xfer_starve_s"] += _dt
                     if item is None or isinstance(item, BaseException):
                         q2.put(item)
                         return
@@ -896,17 +942,33 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                         _, buf, lay, gn = item
                         _t0 = time.perf_counter()
                         dbuf = jax.device_put(buf)
-                        _xfer_stats["xfer_s"] += time.perf_counter() - _t0
+                        _dt = time.perf_counter() - _t0
+                        _xfer_stats["xfer_s"] += _dt
                         _xfer_stats["bytes"] += buf.nbytes
+                        ctr["xfer_busy_s"] += _dt
+                        ctr["xfer_bytes"] += buf.nbytes
+                        ctr["xfer_puts"] += 1
                         _t0 = time.perf_counter()
                         q2.put(("p", dbuf, lay, gn))
-                        _xfer_stats["put_s"] += time.perf_counter() - _t0
+                        _dt = time.perf_counter() - _t0
+                        _xfer_stats["put_s"] += _dt
+                        ctr["xfer_stall_s"] += _dt
                     elif item[0] == "v":
-                        q2.put(("v", jax.device_put(item[1])))
+                        _t0 = time.perf_counter()
+                        dv = jax.device_put(item[1])
+                        ctr["xfer_busy_s"] += time.perf_counter() - _t0
+                        ctr["xfer_bytes"] += item[1].nbytes
+                        ctr["xfer_puts"] += 1
+                        q2.put(("v", dv))
                     else:
                         _, bd, n = item
+                        _t0 = time.perf_counter()
                         bd = shard_batch_fn(bd) if shard_batch_fn is not None \
                             else jax.device_put(bd)
+                        ctr["xfer_busy_s"] += time.perf_counter() - _t0
+                        ctr["xfer_bytes"] += sum(
+                            getattr(v, "nbytes", 0) for v in bd.values())
+                        ctr["xfer_puts"] += 1
                         q2.put(("s", bd, n))
             except BaseException as e:  # noqa: BLE001 — re-raised on consumer
                 q2.put(e)
@@ -950,13 +1012,17 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 return
             if hasattr(_ring, "copy_to_host_async"):
                 _ring.copy_to_host_async()
+            _t0 = time.perf_counter()
             _wq.put((_ring, list(_ring_metas)))
+            ctr["writer_stall_s"] += time.perf_counter() - _t0
             _ring_metas.clear()
 
         _vocab = None  # device [n_rows, 128] i32 dictionary snapshot
 
         while True:
+            _t0 = time.perf_counter()
             item = q2.get()
+            ctr["consumer_starve_s"] += time.perf_counter() - _t0
             if item is None:
                 break
             if isinstance(item, BaseException):
@@ -983,19 +1049,25 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     if _ring is None:
                         _ring = jax.device_put(
                             np.zeros((M, K, batch_size), np.float32))
+                    _t0 = time.perf_counter()
                     params, _ring = ring_fn(
                         params, buf, _ring, np.int32(len(_ring_metas)),
                         *vargs)
+                    ctr["dispatch_s"] += time.perf_counter() - _t0
                     _ring_metas.append((first_num, gn))
                     if len(_ring_metas) == M:
                         _flush_ring()
                 else:
                     step_fn = packed_mod.make_packed_train_step(model, lay, K)
+                    _t0 = time.perf_counter()
                     params, preds = step_fn(params, buf, *vargs)  # [K, B]
+                    ctr["dispatch_s"] += time.perf_counter() - _t0
                     if writer.active:
                         if hasattr(preds, "copy_to_host_async"):
                             preds.copy_to_host_async()
+                        _t0 = time.perf_counter()
                         _wq.put((preds, [(first_num, gn)]))
+                        ctr["writer_stall_s"] += time.perf_counter() - _t0
                 if _werr:
                     raise _werr[0]
             else:

@@ -100,10 +100,16 @@ labels = [1 if l.split()[0] == '1' else 0
 assert len(preds) == len(labels), (len(preds), len(labels))
 ll = -sum(y * math.log(max(p, 1e-12)) + (1 - y) * math.log(max(1 - p, 1e-12))
           for p, y in zip(preds, labels)) / len(preds)
-online_baseline = 0.7491  # exact-online (B=1) at the same 200k/50k scale
+# exact-online (B=1) oracle at the same 200k/50k scale: computed by
+# scripts/compute_gate3_baseline.py and committed with provenance
+# (VERDICT r3 weak #2 — no more hardcoded one-run literal)
+import json
+d = json.load(open('/root/repo/docs/evidence/gate3_exact_online_200k.json'))
+online_baseline = d["test_logloss_b1"]
 print(f"eat-rate: batched test logloss={ll:.4f} vs exact-online baseline "
-      f"{online_baseline} (gate: within +0.02; reference/vw report 0.6370 "
-      f"at 10M rows)")
+      f"{online_baseline} (computed {d['timestamp']}, commit "
+      f"{d.get('git_commit', '?')}; gate: within +0.02; reference/vw "
+      f"report 0.6370 at 10M rows)")
 assert ll < online_baseline + 0.02, ll
 assert ll > 0.5, ll  # sanity: not degenerate
 EOF
@@ -172,11 +178,29 @@ assert len(preds) == 10_000_000, len(preds)
 eps = 1e-12
 ll = float(-np.mean(labels * np.log(np.maximum(preds, eps)) +
                     (1 - labels) * np.log(np.maximum(1 - preds, eps))))
+import subprocess
+try:
+    commit = subprocess.run(["git", "-C", "/root/repo", "rev-parse",
+                             "--short", "HEAD"], capture_output=True,
+                            text=True).stdout.strip()
+except OSError:
+    commit = "unknown"
 result = {"eat_rate_10m_logloss": round(ll, 4), "reference_logloss": 0.637,
           "rows": 10_000_000, "train_s": round(t_train, 1),
           "predict_s": round(t_pred, 1),
-          "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S")}
+          "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+          "seeds": {"train": 21, "test": 22},
+          "config": " ".join(ER),
+          "git_commit": commit,
+          "provenance": "scripts/basic_gate.sh gate 4: full 10M/10M "
+                        "Eat-Rate train+predict on the live TPU"}
 (CD / "eat_rate_10m.json").write_text(json.dumps(result))
+# durable copy committed to the repo (VERDICT r3 #2): headline parity
+# evidence must survive .bench_cache rebuilds
+import pathlib
+ev = pathlib.Path("/root/repo/docs/evidence")
+ev.mkdir(parents=True, exist_ok=True)
+(ev / "eat_rate_10m.json").write_text(json.dumps(result, indent=1))
 print(f"eat-rate 10M: test logloss {ll:.4f} vs reference/vw 0.6370 "
       f"(gate <= 0.6420); train {t_train:.0f}s predict {t_pred:.0f}s")
 assert ll <= 0.6420, ll
@@ -191,11 +215,22 @@ if [ "$G4" -eq 124 ] || [ "$G4" -eq 137 ] || [ "$G4" -eq 75 ]; then
     # off-gate). Any OTHER nonzero exit is a real failure and must fail
     # the gate — the fallback must not mask code regressions.
     python - <<'EOF5'
-import json
-d = json.load(open('/root/repo/.bench_cache/eat_rate_10m.json'))
-ll = d["eat_rate_10m_logloss"]
+import json, os
+# committed evidence first (docs/evidence/, survives .bench_cache wipes),
+# scratch copy as a fresher override if present and newer
+paths = ['/root/repo/docs/evidence/eat_rate_10m.json',
+         '/root/repo/.bench_cache/eat_rate_10m.json']
+best = None
+for p in paths:
+    if os.path.exists(p):
+        d = json.load(open(p))
+        if best is None or d.get("timestamp", "") > best.get("timestamp", ""):
+            best = d
+assert best is not None, "no persisted 10M evidence (docs/evidence/)"
+ll = best["eat_rate_10m_logloss"]
 print(f"gate 4 DEVICE RUN UNAVAILABLE — using persisted full-scale result "
-      f"from {d['timestamp']}: test logloss {ll} vs reference 0.6370")
+      f"from {best['timestamp']} (commit {best.get('git_commit', '?')}): "
+      f"test logloss {ll} vs reference 0.6370")
 assert ll <= 0.6420, ll
 EOF5
 elif [ "$G4" -ne 0 ]; then
