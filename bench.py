@@ -91,6 +91,12 @@ def summarize_counters(c: dict, n: int, t_run_start: float) -> dict:
         "bottleneck": bottleneck,
         "min_stage_ex_s": round(n / busy) if busy > 0 else None,
         "pipeline_efficiency": round(busy / el, 3),
+        # single-core saturation: host CPU seconds consumed by ALL threads
+        # during the run / elapsed — near 1.0 means the ONE host core, not
+        # overlap, is the binding resource
+        "host_cpu_util": round(c.get("process_cpu_s", 0.0) / el, 3),
+        "host_cpu_us_per_ex": round(
+            c.get("process_cpu_s", 0.0) / max(n, 1) * 1e6, 3),
         # fraction of the run's wall clock the uplink was actively moving
         # payload — the link-utilization half of the roofline story
         "link_util": round(xb / el, 3),

@@ -509,6 +509,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
 
     example_num = 0
     t0 = time.time()
+    t0_cpu = time.process_time()
 
     # in-run pipeline counters: busy/stall seconds accumulated INSIDE the
     # timed window by each stage's own thread, so stage rates and
@@ -551,7 +552,8 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                  example_num / max(elapsed, 1e-9))
         return {"params": params, "examples": example_num,
                 "elapsed": elapsed, "a2a_dropped": dropped,
-                "counters": dict(ctr, elapsed_s=elapsed)}
+                "counters": dict(ctr, elapsed_s=elapsed,
+                                 process_cpu_s=time.process_time() - t0_cpu)}
 
     # delayed-learning queue of (batch_dict, n) when --prediction_model_delay
     delayed: list = []
@@ -849,16 +851,23 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     nonlocal group, glay
                     if not group:
                         return
+                    # short groups pack too: a K'-sized scan program is one
+                    # extra compile, served by the persistent compile cache
+                    # on re-runs, vs K' batches down the slow per-array
+                    # device_put path (on a 1M-row run the tail held ~20%
+                    # of the examples; measured in-run counters r4)
+                    if glay.vocabs and vocab_state.venc is not None \
+                            and vocab_state.venc.dirty:
+                        snap = packed_mod.export_vocab(
+                            vocab_state.venc, glay.vocabs[0])
+                        vocab_state.venc.clear_dirty()
+                        pq.put(("v", snap))
+                    buf = packed_mod.pack(glay, [g[1] for g in group])
+                    _tp = time.perf_counter()
+                    pq.put(("p", buf, glay, len(group) * batch_size))
                     if len(group) == K:
-                        if glay.vocabs and vocab_state.venc is not None \
-                                and vocab_state.venc.dirty:
-                            snap = packed_mod.export_vocab(
-                                vocab_state.venc, glay.vocabs[0])
-                            vocab_state.venc.clear_dirty()
-                            pq.put(("v", snap))
-                        buf = packed_mod.pack(glay, [g[1] for g in group])
-                        _tp = time.perf_counter()
-                        pq.put(("p", buf, glay, K * batch_size))
+                        # adaptive-vocab accounting: full groups only (the
+                        # flip arithmetic normalizes per-group)
                         _now = time.perf_counter()
                         vstat["t_put"] += _now - _tp
                         vstat["t_work"] += _now - vstat["t_mark"]
@@ -868,12 +877,6 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                         if glay.vocabs:
                             _maybe_flip_vocab()
                     else:
-                        # short tail: unpacked (a K'-sized packed step would
-                        # compile a whole new program for one group) — use
-                        # the ORIGINAL dicts: the stripped form is only
-                        # meaningful through unpack_row's reconstruction
-                        for orig, _slim in group:
-                            pq.put(("s", orig, batch_size))
                         vstat["t_mark"] = time.perf_counter()
                     group, glay = [], None
 
@@ -1034,6 +1037,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 _, buf, lay, gn = item
                 first_num = example_num + 1
                 example_num += gn
+                kk = gn // batch_size  # K' — short tail groups pack too
                 vargs = (_vocab,) if lay.vocabs else ()
                 if auto_ring and not use_ring \
                         and _fetch_stats["last_ms"] > ring_auto_ms:
@@ -1043,7 +1047,9 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                         "engaging the device fetch ring (M=%d, one D2H "
                         "per %d superbatches)",
                         _fetch_stats["last_ms"], ring_auto_ms, M, M)
-                if use_ring:
+                if use_ring and kk != K:
+                    _flush_ring()  # tail: ring slots are [K, B]-shaped
+                if use_ring and kk == K:
                     ring_fn = packed_mod.make_packed_train_step_ring(
                         model, lay, K, M)
                     if _ring is None:
@@ -1058,9 +1064,10 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     if len(_ring_metas) == M:
                         _flush_ring()
                 else:
-                    step_fn = packed_mod.make_packed_train_step(model, lay, K)
+                    step_fn = packed_mod.make_packed_train_step(model, lay,
+                                                                kk)
                     _t0 = time.perf_counter()
-                    params, preds = step_fn(params, buf, *vargs)  # [K, B]
+                    params, preds = step_fn(params, buf, *vargs)  # [kk, B]
                     ctr["dispatch_s"] += time.perf_counter() - _t0
                     if writer.active:
                         if hasattr(preds, "copy_to_host_async"):
