@@ -1178,7 +1178,12 @@ def configure_compile_cache(args=None) -> None:
         if "jax" in sys.modules:  # in-process config (tests) wins over env
             platform = sys.modules["jax"].config.jax_platforms or ""
         platform = platform or os.environ.get("JAX_PLATFORMS") or ""
-    if "cpu" in str(platform) or (not str(platform) and not explicit):
+    # the platform string can be a priority list ("axon,cpu" from the site
+    # hook: cpu is only the FALLBACK) — judge by the first entry, not by
+    # substring ("cpu" in "axon,cpu" kept the cache off on every device
+    # run until r4)
+    plats = [p.strip() for p in str(platform).split(",") if p.strip()]
+    if (plats and plats[0] == "cpu") or (not plats and not explicit):
         return
     if cache_dir is None:
         cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "fwt_xla")
