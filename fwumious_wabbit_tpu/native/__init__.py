@@ -124,7 +124,10 @@ def _configure(lib):
                                      ctypes.c_int32, P(i32),
                                      P(ctypes.c_uint8)]
     lib.fwn_vocab_export.restype = i64
-    lib.fwn_vocab_export.argtypes = [ctypes.c_void_p, ctypes.c_int32, P(i32)]
+    lib.fwn_vocab_export.argtypes = [ctypes.c_void_p, ctypes.c_int32, i64,
+                                     P(i32)]
+    lib.fwn_vocab_col_size.restype = i64
+    lib.fwn_vocab_col_size.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.fwn_vocab_dirty.restype = ctypes.c_int
     lib.fwn_vocab_dirty.argtypes = [ctypes.c_void_p]
     lib.fwn_vocab_clear_dirty.argtypes = [ctypes.c_void_p]
@@ -371,11 +374,21 @@ class VocabEncoder:
         return (out, sizes, combo_row) if ok else None
 
     def export_col(self, col: int, cap: int) -> np.ndarray:
+        """First ``cap`` dictionary entries of column ``col`` — the write
+        is capped C-side: the dictionary may have grown past the layout's
+        snapshot region between layout and export (the producer encodes
+        the NEXT batch before flushing the pending group), and indices
+        >= cap cannot appear in the pending group's payload."""
         out = np.zeros(cap, np.int32)
         n = self._lib.fwn_vocab_export(
-            self._ptr, col,
+            self._ptr, col, cap,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         return out[:n]
+
+    def col_size(self, col: int) -> int:
+        """Entries minted so far in column ``col`` (retained across a
+        direct flip); -1 when out of range."""
+        return int(self._lib.fwn_vocab_col_size(self._ptr, col))
 
     @property
     def dirty(self) -> bool:

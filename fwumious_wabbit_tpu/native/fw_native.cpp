@@ -737,13 +737,31 @@ void fwn_counts_table(const int32_t* idx, const uint8_t* codes,
   }
 }
 
-// write column j's dictionary (index order) into out; returns its size
-int64_t fwn_vocab_export(void* p, int32_t col, int32_t* out) {
+// write column j's dictionary (index order, first `cap` entries) into
+// out; returns the count written. `cap` bounds the WRITE, not the
+// dictionary: a snapshot region sized by an earlier layout must never be
+// overflowed by inserts that happened between layout and export (the
+// producer encodes batch N+1 BEFORE flushing group N; indices >= cap
+// cannot appear in that group's payload, so clamping is exact).
+int64_t fwn_vocab_export(void* p, int32_t col, int64_t cap, int32_t* out) {
   auto* v = static_cast<Vocab*>(p);
-  if (size_t(col) >= v->cols.size() || v->cols[size_t(col)].direct) return 0;
+  if (size_t(col) >= v->cols.size() || cap <= 0) return 0;
+  // export even after a direct flip: `order` is retained, and a PENDING
+  // group encoded before the flip still ships dictionary indices that
+  // must resolve (its layout's region covers indices < cap by
+  // construction)
   const auto& o = v->cols[size_t(col)].order;
-  std::memcpy(out, o.data(), o.size() * sizeof(int32_t));
-  return int64_t(o.size());
+  size_t n = o.size() < size_t(cap) ? o.size() : size_t(cap);
+  std::memcpy(out, o.data(), n * sizeof(int32_t));
+  return int64_t(n);
+}
+
+// current dictionary size of column j (entries minted so far, retained
+// across a direct flip); -1 for an out-of-range column
+int64_t fwn_vocab_col_size(void* p, int32_t col) {
+  auto* v = static_cast<Vocab*>(p);
+  if (size_t(col) >= v->cols.size()) return -1;
+  return int64_t(v->cols[size_t(col)].order.size());
 }
 
 int fwn_vocab_dirty(void* p) { return static_cast<Vocab*>(p)->dirty ? 1 : 0; }

@@ -800,6 +800,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     pq.put(None)
                     return
                 group: list = []
+                group_n = 0
                 glay = None
                 seen = 0
                 # adaptive-vocab accounting (full superbatches only)
@@ -848,7 +849,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     st.update(starve_s=0.0, xfer_s=0.0, put_s=0.0, bytes=0)
 
                 def flush_group():
-                    nonlocal group, glay
+                    nonlocal group, glay, group_n
                     if not group:
                         return
                     # short groups pack too: a K'-sized scan program is one
@@ -860,11 +861,23 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                             and vocab_state.venc.dirty:
                         snap = packed_mod.export_vocab(
                             vocab_state.venc, glay.vocabs[0])
-                        vocab_state.venc.clear_dirty()
+                        # clear the growth flag ONLY if this snapshot fully
+                        # covers the dictionaries: the batch that ENDED this
+                        # group (already encoded, different signature,
+                        # flushed next) may have grown a column past this
+                        # layout's region — its own flush must re-export
+                        # with its wider layout. (r4 bug: unconditional
+                        # clear shipped that group against a stale
+                        # snapshot → garbage id resolution.)
+                        _key0, _w0, _b0, _n0 = glay.vocabs[0]
+                        if all(b < 0
+                               or vocab_state.venc.col_size(j) <= (1 << w)
+                               for j, (w, b) in enumerate(zip(_w0, _b0))):
+                            vocab_state.venc.clear_dirty()
                         pq.put(("v", snap))
                     buf = packed_mod.pack(glay, [g[1] for g in group])
                     _tp = time.perf_counter()
-                    pq.put(("p", buf, glay, len(group) * batch_size))
+                    pq.put(("p", buf, glay, group_n))
                     if len(group) == K:
                         # adaptive-vocab accounting: full groups only (the
                         # flip arithmetic normalizes per-group)
@@ -878,21 +891,34 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                             _maybe_flip_vocab()
                     else:
                         vstat["t_mark"] = time.perf_counter()
-                    group, glay = [], None
+                    group, glay, group_n = [], None, 0
 
                 for bd, n in native_batch_stream(args, mi, vw, batch_size,
                                                  cut_at, count_keys):
                     lay = None
                     slim = bd
-                    if (can_pack and n == batch_size
+                    # partial (padded) batches pack too, as their own solo
+                    # group: the arrays are already [batch_size, W] with
+                    # inert padding rows, so one packed buffer beats the
+                    # per-array device_put path (the 1M bench's 17k-row
+                    # tail measured ~5% of the wall clock on that path)
+                    if (can_pack
                             and (holdout_after is None or seen < cut_at)):
                         # constant-feature column elision + id bit-packing
                         # + vocab indexing: pure transfer savings, undone
                         # device-side (packed.py unpack_row)
                         _t0 = time.perf_counter()
+                        # partial (padded) batches stay OFF the vocab
+                        # encoder: their constant column is not stripped
+                        # (padding rows break the constancy test), so
+                        # column j is a different logical column than in
+                        # full batches — feeding them would pollute the
+                        # persistent dictionaries with misaligned ids and
+                        # padding garbage
                         slim, *spec = packed_mod.prepare_for_transfer(
                             bd, mi, bitpack=bitpack_on,
-                            vocab_state=vocab_state)
+                            vocab_state=vocab_state if n == batch_size
+                            else None)
                         _t_on = time.perf_counter() - _t0
                         lay = packed_mod.layout_of(slim, *spec)
                         if _vocab_adaptive and vstat["probe"] is None \
@@ -909,16 +935,19 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                                 vstat["probe"] = (
                                     max(_t_on - _t_off, 0.0) / batch_size,
                                     _play.words * 4 / batch_size)
-                    if lay is not None and (
+                    if lay is not None and n == batch_size and (
                             glay is None or lay.signature == glay.signature):
                         group.append((bd, slim))
+                        group_n += n
                         glay = lay
                         if len(group) == K:
                             flush_group()
                     else:
                         flush_group()
                         if lay is not None:
-                            group, glay = [(bd, slim)], lay
+                            group, glay, group_n = [(bd, slim)], lay, n
+                            if n != batch_size:
+                                flush_group()  # solo: padded partial batch
                         else:
                             pq.put(("s", bd, n))
                     seen += n
@@ -1037,7 +1066,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 _, buf, lay, gn = item
                 first_num = example_num + 1
                 example_num += gn
-                kk = gn // batch_size  # K' — short tail groups pack too
+                kk = int(buf.shape[0])  # K' — short/partial tails pack too
                 vargs = (_vocab,) if lay.vocabs else ()
                 if auto_ring and not use_ring \
                         and _fetch_stats["last_ms"] > ring_auto_ms:

@@ -39,8 +39,9 @@ def main() -> int:
 
     configs = [
         ("K8", 8, 0), ("K8+ring4", 8, 4),
-        ("K16", 16, 0), ("K16+ring4", 16, 4),
     ]
+    if "--full" in sys.argv:
+        configs += [("K16", 16, 0), ("K16+ring4", 16, 4)]
     # private dataset copy per K so each records its own caches
     paths = {}
     for name, k, _m in configs:

@@ -580,3 +580,25 @@ def test_adaptive_vocab_flip_identical(tmp_path, monkeypatch):
     assert outs["vocab"][0] == outs["plain"][0] == outs["flip"][0]
     assert outs["vocab"][1] == outs["plain"][1] == outs["flip"][1]
     assert len(outs["flip"][0]) > 0
+
+
+def test_export_col_capped_after_growth():
+    """The dictionary may grow past a layout's snapshot region between
+    layout and export (the producer encodes batch N+1 before flushing
+    group N). export_col must clamp its WRITE to cap — r4 regression:
+    an uncapped memcpy overflowed the numpy buffer and corrupted the
+    heap when a padded partial batch polluted the dictionaries ahead of
+    the pending group's snapshot export."""
+    from fwumious_wabbit_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    venc = native.VocabEncoder(4, 1 << 14)
+    ids = np.arange(100, dtype=np.int32).reshape(-1, 1) * 7 + 3
+    res = venc.encode2(ids, 0, (1 << 25) - 1)
+    assert res is not None
+    cap = 16  # a region sized well below the dictionary's 100 entries
+    col = venc.export_col(0, cap)
+    assert len(col) == cap
+    np.testing.assert_array_equal(col, ids.reshape(-1)[:cap])
+    venc.close()
