@@ -30,6 +30,15 @@ ROOT = Path(__file__).resolve().parent
 CACHE_DIR = ROOT / ".bench_cache"
 BASELINE = 500_000.0  # reference end-to-end train ex/s, BENCHMARK.md:18
 BENCH_T0 = time.time()  # all window timestamps are relative to this
+
+
+def budget_left() -> float:
+    """Seconds before the watchdog deadline (FWT_BENCH_DEADLINE) — the
+    child skips OPTIONAL phases that no longer fit so the JSON completes
+    with every mandatory row instead of being killed mid-phase (a cold
+    compile cache costs ~550 s of first-compiles in the warm run alone)."""
+    deadline = float(os.environ.get("FWT_BENCH_DEADLINE", "840"))
+    return deadline - (time.time() - BENCH_T0)
 V5E_HBM_B_S = 819e9  # TPU v5e peak HBM bandwidth (public spec: 819 GB/s)
 
 
@@ -820,7 +829,8 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     # number), with the same in-run counter summary as the 1M runs. The
     # packed-step program is served by the persistent compile cache, so
     # this costs dataset generation (once) + the run itself.
-    if rows == 1_000_000 and result["elapsed"] <= 45.0:
+    if rows == 1_000_000 and result["elapsed"] <= 45.0 \
+            and budget_left() > 220:
         try:
             data10 = ensure_dataset(10_000_000)
             args10 = build_parser().parse_args(_base_argv(data10))
@@ -844,15 +854,19 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
             print(f"# 10M headline failed: {e}", file=sys.stderr)
 
     try:
+        if budget_left() < 100:
+            raise _SkipProbe
         extras["decomposition"] = bench_decomposition(rows)
         checkpoint()
+    except _SkipProbe:
+        print("# decomposition skipped (deadline budget)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — decomposition is diagnostic
         print(f"# decomposition failed: {e}", file=sys.stderr)
 
     # FFM-mode decomposition (VERDICT r3 #3): same ingest/transfer/step
     # split for the k=8 FFM config, so the FFM number has a bottleneck
     # statement and a payload row like the LR path
-    if result["elapsed"] <= 45.0:
+    if result["elapsed"] <= 45.0 and budget_left() > 120:
         try:
             extras["ffm_decomposition"] = bench_decomposition(
                 rows,
@@ -870,7 +884,7 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         except Exception as e:  # noqa: BLE001 — diagnostic
             print(f"# ffm decomposition failed: {e}", file=sys.stderr)
 
-    if result["elapsed"] <= 45.0:
+    if result["elapsed"] <= 45.0 and budget_left() > 90:
         try:
             extras["device_step_ex_s"] = bench_device_step()["value"]
             print(f"# device step (2^25 FFM): {extras['device_step_ex_s']:,.0f} ex/s",
@@ -881,7 +895,7 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     _rss_phase(rssp, "end")
     extras["rss_phases_mb"] = rssp.get("rss_phases_mb", {})
     extras["peak_rss_mb"] = peak_rss_mb()
-    if result["elapsed"] <= 45.0:
+    if result["elapsed"] <= 45.0 and budget_left() > 80:
         hwm = train_only_rss_mb(rows)
         if hwm is not None:
             extras["train_only_rss_mb"] = hwm

@@ -875,9 +875,27 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                                for j, (w, b) in enumerate(zip(_w0, _b0))):
                             vocab_state.venc.clear_dirty()
                         pq.put(("v", snap))
-                    buf = packed_mod.pack(glay, [g[1] for g in group])
-                    _tp = time.perf_counter()
-                    pq.put(("p", buf, glay, group_n))
+                    if len(group) in (1, K):
+                        buf = packed_mod.pack(glay, [g[1] for g in group])
+                        _tp = time.perf_counter()
+                        pq.put(("p", buf, glay, group_n))
+                    else:
+                        # split short tails into CANONICAL scan lengths
+                        # (K, then descending powers of two): every K'
+                        # would otherwise compile its own program, and
+                        # early-run vocab re-signatures times arbitrary
+                        # K' measured ~150 s of extra first-compiles in
+                        # one warm pass
+                        sizes = [K] + [p for p in (8, 4, 2, 1) if p < K]
+                        i = 0
+                        _tp = time.perf_counter()
+                        while i < len(group):
+                            kk = next(s for s in sizes
+                                      if s <= len(group) - i)
+                            buf = packed_mod.pack(
+                                glay, [g[1] for g in group[i:i + kk]])
+                            pq.put(("p", buf, glay, kk * batch_size))
+                            i += kk
                     if len(group) == K:
                         # adaptive-vocab accounting: full groups only (the
                         # flip arithmetic normalizes per-group)
