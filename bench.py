@@ -218,7 +218,7 @@ def train_only_rss_mb(rows: int) -> float | None:
     )
     try:
         r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                           text=True, timeout=240)
+                           text=True, timeout=360)
         for line in r.stdout.splitlines():
             if line.startswith("HWM "):
                 return float(line.split()[1])
@@ -703,16 +703,27 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
 
     runs = []
     run_details = []
-    for _ in range(3):
+    timed_wall = 0.0
+    while True:
         t_run = time.time()
         result = run_train_loop(args, mi, vw, model)
         runs.append(result["examples"] / result["elapsed"])
+        timed_wall += result["elapsed"]
         det = summarize_counters(result.get("counters", {}),
                                  result["examples"], t_run)
         det["probe_link_mb_s"] = probe_link_mb_s()
         run_details.append(det)
-        if result["elapsed"] > 45.0:
+        if result["elapsed"] > 45.0 or len(runs) >= 6:
             break
+        if len(runs) >= 3:
+            m, s = float(np.mean(runs)), float(np.std(runs))
+            # the shared tunnel/core can hand ONE run a 10x-degraded
+            # window; when the spread says that happened, take up to 3
+            # more samples (mean stays over ALL runs — more samples,
+            # not selection) if the deadline budget allows
+            if s / max(m, 1e-9) < 0.3 or timed_wall > 60.0 \
+                    or budget_left() < 200:
+                break
     ex_s = max(runs)
     mean = float(np.mean(runs))
     std = float(np.std(runs))
@@ -765,14 +776,23 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     if result["elapsed"] <= 45.0:
         pargs = build_parser().parse_args(argv + ["-c"])
         run_train_loop(pargs, mi, vw, model)       # builds the cache
-        t_run = time.time()
-        r = run_train_loop(pargs, mi, vw, model)   # trains from the cache
-        extras["cache_train_ex_s"] = round(r["examples"] / r["elapsed"])
-        extras["cache_train_detail"] = summarize_counters(
-            r.get("counters", {}), r["examples"], t_run)
+        cruns, cdets = [], []
+        for _ in range(3):                         # 3-run mean, like train
+            t_run = time.time()
+            r = run_train_loop(pargs, mi, vw, model)
+            cruns.append(r["examples"] / r["elapsed"])
+            cdets.append(summarize_counters(
+                r.get("counters", {}), r["examples"], t_run))
+            if r["elapsed"] > 20.0:
+                break
+        extras["cache_train_ex_s"] = round(float(np.mean(cruns)))
+        extras["cache_train_runs"] = [round(x) for x in cruns]
+        extras["cache_train_best"] = round(max(cruns))
+        extras["cache_train_detail"] = cdets[int(np.argmax(cruns))]
         _rss_phase(rssp, "cache_train")
         checkpoint()
-        print(f"# cache-train: {r['examples']/r['elapsed']:,.0f} ex/s (ref 788k)",
+        print(f"# cache-train: mean {np.mean(cruns):,.0f}, best "
+              f"{max(cruns):,.0f} ex/s over {len(cruns)} runs (ref 788k)",
               file=sys.stderr)
         # predict mode the way the reference benchmarks it: load a trained
         # model file and forward every example (-t -i model). Eligible runs
@@ -810,11 +830,19 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         fmi = ModelInstance.from_cmdline(fargs, vw)
         fmodel = FwModel(fmi, precision="default")
         run_train_loop(fargs, fmi, vw, fmodel)     # warm (reuses cache)
-        t_run = time.time()
-        r = run_train_loop(fargs, fmi, vw, fmodel)
-        extras["ffm_train_ex_s"] = round(r["examples"] / r["elapsed"])
-        extras["ffm_detail"] = summarize_counters(
-            r.get("counters", {}), r["examples"], t_run)
+        fruns, fdets = [], []
+        for _ in range(3):
+            t_run = time.time()
+            r = run_train_loop(fargs, fmi, vw, fmodel)
+            fruns.append(r["examples"] / r["elapsed"])
+            fdets.append(summarize_counters(
+                r.get("counters", {}), r["examples"], t_run))
+            if r["elapsed"] > 20.0:
+                break
+        extras["ffm_train_ex_s"] = round(float(np.mean(fruns)))
+        extras["ffm_train_runs"] = [round(x) for x in fruns]
+        extras["ffm_train_best"] = round(max(fruns))
+        extras["ffm_detail"] = fdets[int(np.argmax(fruns))]
         d = extras["ffm_detail"]
         _rss_phase(rssp, "ffm_train")
         checkpoint()

@@ -164,7 +164,9 @@ def strip_constant_columns(bd: dict, lr_hash_mask: int):
         c = int(counts[0, -1])
         if not (counts[:, -1] == c).all():
             return bd, ()  # mixed multiplicities: ship unchanged
-        out["lr_counts"] = counts[:, :-1]
+        # contiguous: pack()'s flat memcpy of a strided view costs ~6x
+        # per byte (measured 0.22 ms vs 0.13 ms for 4x the bytes)
+        out["lr_counts"] = np.ascontiguousarray(counts[:, :-1])
         appends.append(("lr_counts", c))
     return out, tuple(appends)
 
