@@ -201,7 +201,25 @@ class ScopedOptimizer:
             upd = flex_update(gsum, acc_new, self.learning_rate, self.power_t)
         return w - upd, acc_new
 
-    def apply_rows(self, w, acc, rid, grows, counts=None):
+    def count_factor(self, counts):
+        """Batch-mean cap factor per entry: ``min(1, cap/c)`` from host
+        multiplicity counts (u8 soft-float codes or plain ints).
+
+        Applied to the PRE-EXPANSION scalar/slab gradients in the train
+        step (train/step.py): the factor is a function of the entry's id
+        alone, so scaling every occurrence before the dedup run-sum is
+        the same cap as scaling the summed rows after it — but touches
+        [B, W] scalars instead of [B·W, 128] rows (measured ~25 ms of a
+        269 ms LR superbatch on the expanded form), and drops the
+        positional rid↔counts alignment constraint entirely (any dedup
+        path works, including the reordering sort fallback)."""
+        c = counts
+        if c.dtype == jnp.uint8:
+            c = decode_counts(c)
+        c = jnp.maximum(c.astype(jnp.float32), 1.0)
+        return jnp.minimum(jnp.float32(1.0), jnp.float32(self.batch_cap) / c)
+
+    def apply_rows(self, w, acc, rid, grows, counts=None, pre_scaled=False):
         """Sparse update of a row table (see ops/tables.py) — only touched
         rows move through HBM, never the full table.
 
@@ -217,7 +235,7 @@ class ScopedOptimizer:
         Duplicates *across* examples still sum on the scatter and share the
         post-bump rate — the batch form of sequential per-example updates.
         """
-        if self.batch_mean:
+        if self.batch_mean and not pre_scaled:
             if counts is not None:
                 # host-precomputed multiplicities ([K], 0 on padding): the
                 # ~14 ms C++ radix pass replaces a ~32 ms device sort AND

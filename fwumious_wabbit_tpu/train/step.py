@@ -253,41 +253,57 @@ def make_train_step(model: FwModel):
         # scalars/slabs costs 128/P× less HBM than deduping [K,128] rows;
         # batch_mean keeps the row-level path so its per-row multiplicity
         # counts are unchanged.
-        if model.opt_lr.has_state and not model.opt_lr.batch_mean:
+        # host-precomputed multiplicity counts (loop.native_batch_stream):
+        # the batch-mean cap factor is a function of the entry's ID alone,
+        # so it applies to the PRE-EXPANSION scalars — every occurrence of
+        # a weight carries the same factor, making scale-then-dedup-sum
+        # the same cap as sum-then-scale, at [B, L] cost instead of
+        # [B·L, 128] (opt.count_factor) and with no rid↔counts positional
+        # alignment requirement
+        lr_counts = batch.get("lr_counts")
+        lr_pre_scaled = False
+        if model.opt_lr.batch_mean and lr_counts is not None:
+            g_lr = g_lr * model.opt_lr.count_factor(lr_counts)
+            lr_pre_scaled = True
+        if model.opt_lr.has_state and (not model.opt_lr.batch_mean
+                                       or lr_pre_scaled):
+            # pre-scaling freed the batch-mean path to use the cheap
+            # pre-expansion dedup as well (scalars, not [K,128] rows —
+            # measured ~20 ms of a 263 ms LR superbatch)
             lr_ids, _ = model.lr_ids_combos(batch)
             rid_lr, grows_lr = tables.expand_scalar_grads_dedup(lr_ids, g_lr)
         else:
             rid_lr, grows_lr = tables.expand_scalar_grads(lr_aux, g_lr)
             if model.opt_lr.has_state:
-                # merge keyed by the feature id (not the row): counts are
-                # per weight, and merging two same-row different-lane
-                # entries would scale the merged row by the first entry's
-                # count only (same-row different-lane entries are disjoint
-                # and need no merge — the scatter is elementwise)
+                # merge keyed by the feature id (not the row): merging two
+                # same-row different-lane entries is unnecessary (disjoint
+                # lanes — the scatter is elementwise) and same-key entries
+                # must sum for the (Σg)² accumulator semantics
                 lr_ids, _ = model.lr_ids_combos(batch)
                 rid_lr, grows_lr = tables.dedup_rows(
                     rid_lr, grows_lr, B, keys=lr_ids)
-        # host-precomputed multiplicity counts (see loop.native_batch_stream);
-        # only valid while the dedup above preserves entry order (the
-        # pairwise path — the wide-input sort fallback reorders entries)
-        lr_counts = batch.get("lr_counts")
-        if lr_counts is not None and not tables.dedup_preserves_order(
-                B, rid_lr.shape[0] // B):
-            log.warning(
-                "batch-mean: dropping host multiplicity counts (entry width "
-                "%d too wide for the order-preserving dedup path); the "
-                "device-side sort computes them instead (~2x step cost)",
-                rid_lr.shape[0] // B)
-            lr_counts = None
         new_params["lr_w"], lr_acc = model.opt_lr.apply_rows(
             params["lr_w"], params.get("lr_acc"), rid_lr, grows_lr,
-            counts=None if lr_counts is None else lr_counts.reshape(-1),
+            pre_scaled=lr_pre_scaled,
         )
         if lr_acc is not None:
             new_params["lr_acc"] = lr_acc
 
         if has_ffm:
-            if (model.opt_ffm.has_state and not model.opt_ffm.batch_mean
+            # pre-expansion batch-mean scaling, as for LR: the window-keyed
+            # factor broadcasts over the slab axis of g_emb. Works for any
+            # rows_per_slab (the old positionally-aligned counts path was
+            # limited to single-row slabs and order-preserving dedup).
+            ffm_counts = batch.get("ffm_counts")
+            ffm_pre_scaled = False
+            if model.opt_ffm.batch_mean and ffm_counts is not None:
+                f = model.opt_ffm.count_factor(ffm_counts)
+                g_emb = g_emb * f.reshape(
+                    *ffm_counts.shape, *([1] * (g_emb.ndim - ffm_counts.ndim))
+                )
+                ffm_pre_scaled = True
+            if (model.opt_ffm.has_state
+                    and (not model.opt_ffm.batch_mean or ffm_pre_scaled)
                     and model.ffm_spec.rows_per_slab == 1):
                 rid_ffm, grows_ffm = tables.expand_grads_dedup(
                     batch["ffm_ids"], g_emb, model.ffm_spec
@@ -295,10 +311,9 @@ def make_train_step(model: FwModel):
             else:
                 rid_ffm, grows_ffm = tables.expand_grads(ffm_aux, g_emb, model.ffm_spec)
                 if model.opt_ffm.has_state:
-                    # merge keyed by the window id so host counts (keyed the
-                    # same way) stay aligned: same-row different-window
-                    # entries occupy disjoint lanes and must not merge into
-                    # a row scaled by one window's count
+                    # merge keyed by the window id: same-row different-
+                    # window entries occupy disjoint lanes and need no
+                    # merge; same-window entries sum for (Σg)² semantics
                     keys = None
                     if model.ffm_spec.rows_per_slab == 1:
                         pos_bits = (model.ffm_spec.align - 1).bit_length()
@@ -306,20 +321,9 @@ def make_train_step(model: FwModel):
                             batch["ffm_ids"], pos_bits)
                     rid_ffm, grows_ffm = tables.dedup_rows(
                         rid_ffm, grows_ffm, B, keys=keys)
-            ffm_counts = batch.get("ffm_counts")
-            if ffm_counts is not None and (
-                    model.ffm_spec.rows_per_slab != 1
-                    or not tables.dedup_preserves_order(
-                        B, rid_ffm.shape[0] // B)):
-                log.warning(
-                    "batch-mean: dropping host ffm multiplicity counts "
-                    "(multi-row slabs or entry width too wide for the "
-                    "order-preserving dedup); device-side sort computes "
-                    "them instead (~2x step cost)")
-                ffm_counts = None
             new_params["ffm_w"], ffm_acc = model.opt_ffm.apply_rows(
                 params["ffm_w"], params.get("ffm_acc"), rid_ffm, grows_ffm,
-                counts=None if ffm_counts is None else ffm_counts.reshape(-1),
+                pre_scaled=ffm_pre_scaled,
             )
             if ffm_acc is not None:
                 new_params["ffm_acc"] = ffm_acc
