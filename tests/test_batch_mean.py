@@ -392,3 +392,56 @@ def test_dedup_rows_key_restricted_merge():
     np.testing.assert_array_equal(lane0[0], [1, 2, 12, 0])
     # ex1: keys 70,70 merge; 71 stays; 20 separate row
     np.testing.assert_array_equal(lane0[1], [48, 0, 64, 128])
+
+
+def test_prescale_equals_postscale_cap():
+    """r4 refactor: scaling the pre-expansion scalars by count_factor must
+    apply the same cap as apply_rows' legacy post-dedup row scaling —
+    exactly when a weight's multiplicity is <= cap (factor 1.0), and to
+    float tolerance above it (the sum-then-scale vs scale-then-sum
+    distributivity difference is ULP-level)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fwumious_wabbit_tpu.ops.adagrad import (
+        OPT_ADAGRAD_LUT, ScopedOptimizer, encode_counts,
+    )
+    from fwumious_wabbit_tpu.ops import tables
+
+    rng = np.random.default_rng(7)
+    rows, B, L = 64, 32, 6
+    spec = ScopedOptimizer(OPT_ADAGRAD_LUT, learning_rate=0.1, power_t=0.0,
+                           initial_acc_gradient=0.0, batch_mean=True,
+                           batch_cap=2.0, pallas_mode="off")
+    ids = rng.integers(0, rows * 128, (B, L)).astype(np.int32)
+    ids[:, 0] = 7  # one hot weight: multiplicity B >> cap
+    g = rng.normal(size=(B, L)).astype(np.float32) * 0.1
+    flat = ids.reshape(-1)
+    c = np.zeros(B * L, np.int64)
+    u, inv, cnt = np.unique(flat, return_inverse=True, return_counts=True)
+    c[:] = cnt[inv]
+    codes = encode_counts(c).reshape(B, L)
+    w0 = rng.normal(size=(rows, 128)).astype(np.float32)
+    acc0 = np.zeros((rows, 128), np.float32)
+
+    # legacy: expand, dedup keyed by id, post-dedup counts scaling
+    _, aux = tables.gather_scalars(jnp.asarray(w0), jnp.asarray(ids))
+    rid, grows = tables.expand_scalar_grads(aux, jnp.asarray(g))
+    rid, grows = tables.dedup_rows(rid, grows, B, keys=jnp.asarray(ids))
+    w_a, acc_a = spec.apply_rows(jnp.asarray(w0), jnp.asarray(acc0),
+                                 rid, grows,
+                                 counts=jnp.asarray(codes.reshape(-1)))
+
+    # new: pre-scale scalars, cheap pre-expansion dedup, pre_scaled=True
+    g2 = jnp.asarray(g) * spec.count_factor(jnp.asarray(codes))
+    rid2, grows2 = tables.expand_scalar_grads_dedup(jnp.asarray(ids), g2)
+    w_b, acc_b = spec.apply_rows(jnp.asarray(w0), jnp.asarray(acc0),
+                                 rid2, grows2, pre_scaled=True)
+
+    np.testing.assert_allclose(np.asarray(w_a), np.asarray(w_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc_a), np.asarray(acc_b),
+                               rtol=1e-5, atol=1e-6)
+    # the capped hot weight really was capped: its movement is bounded by
+    # cap online-updates' worth
+    assert not np.array_equal(np.asarray(w_a), w0)
