@@ -72,7 +72,12 @@ def summarize_counters(c: dict, n: int, t_run_start: float) -> dict:
     stages = {
         "producer": c.get("producer_busy_s", 0.0),
         "transfer": c.get("xfer_busy_s", 0.0),
-        "device": c.get("dispatch_s", 0.0) + c.get("fetch_force_s", 0.0),
+        # dispatch (consumer thread) and fetch-force (writer thread) are
+        # both device waits but on DIFFERENT threads — they can overlap in
+        # wall time, so their sum is an upper bound; clamp to elapsed so
+        # efficiency stays <= 1 by construction
+        "device": min(el, c.get("dispatch_s", 0.0)
+                      + c.get("fetch_force_s", 0.0)),
     }
     bottleneck = max(stages, key=stages.get)
     busy = stages[bottleneck]
