@@ -817,8 +817,11 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                         vocab_state.disabled = True
                         log.info("adaptive vocab: encode disabled (forced)")
                         return
-                    if vstat["probe"] is None or vstat["groups"] < 8:
-                        return
+                    if vstat["probe"] is None or vstat["groups"] < 3:
+                        return  # 3 full groups/window: a 1M-row run only
+                        # produces 3 (the old floor of 8 needed 2.1M rows
+                        # and the flip could never fire inside the
+                        # benchmark's timed runs)
                     dt_prep, s_off = vstat["probe"]
                     t_work = vstat["t_work"] - vstat["t_put"]
                     if t_work <= 0 or vstat["ex"] == 0:
@@ -836,7 +839,11 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     r_on = bw / s_on
                     r_off = bw / max(s_off, 1.0)
                     if starve_frac > 0.6 and \
-                            min(p_off, r_off) > 1.2 * min(p_on, r_on):
+                            min(p_off, r_off) > 1.05 * min(p_on, r_on):
+                        # hysteresis 1.05 (was 1.2): a flip costs one
+                        # re-signature compile, now served by the
+                        # persistent compile cache — the old margin
+                        # blocked measured ~8% producer wins
                         vocab_state.disabled = True
                         log.info(
                             "adaptive vocab: encode disabled (producer-bound:"
