@@ -827,7 +827,11 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     if t_work <= 0 or vstat["ex"] == 0:
                         return
                     p_on = vstat["ex"] / t_work
-                    t_off = t_work - dt_prep * vstat["groups"] * K
+                    # dt_prep is PER EXAMPLE (the probe divides by
+                    # batch_size) — the old `* groups * K` undercounted by
+                    # batch_size, so the predicted no-vocab rate always
+                    # equaled the current one and the flip never fired
+                    t_off = t_work - dt_prep * vstat["ex"]
                     p_off = vstat["ex"] / max(t_off, 1e-9)
                     st = _xfer_stats
                     busy = st["starve_s"] + st["xfer_s"] + st["put_s"]
@@ -838,6 +842,14 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     s_on = st["bytes"] / vstat["ex"]
                     r_on = bw / s_on
                     r_off = bw / max(s_off, 1.0)
+                    if os.environ.get("FWT_VOCAB_DEBUG"):
+                        log.info(
+                            "vocab-flip eval: starve %.2f, p_on %.0fk, "
+                            "p_off %.0fk, r_on %.0fk, r_off %.0fk, "
+                            "dt_prep %.3fus, s_on %.1f s_off %.1f",
+                            starve_frac, p_on / 1e3, p_off / 1e3,
+                            r_on / 1e3, r_off / 1e3, dt_prep * 1e6,
+                            s_on, s_off)
                     if starve_frac > 0.6 and \
                             min(p_off, r_off) > 1.05 * min(p_on, r_on):
                         # hysteresis 1.05 (was 1.2): a flip costs one
