@@ -746,6 +746,11 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     extras = {
         "mean": round(mean, 1),
         "std": round(std, 1),
+        # robust center: one catastrophic tunnel window inside the run set
+        # (observed: a 30k ex/s run beside 480k siblings) drags the mean;
+        # the median is reported alongside, the headline stays the mean
+        "median": round(float(np.median(runs)), 1),
+        "vs_baseline_median": round(float(np.median(runs)) / BASELINE, 3),
         "runs": [round(r, 1) for r in runs],
         "best": round(ex_s, 1),
         "vs_baseline_best": round(ex_s / BASELINE, 3),
