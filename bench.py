@@ -404,6 +404,17 @@ def bench_decomposition(rows: int, extra_argv: tuple = (),
     args = build_parser().parse_args(_base_argv(data) + list(extra_argv))
     vw = VwNamespaceMap.from_dataset_dir(args.data)
     mi = ModelInstance.from_cmdline(args, vw)
+    # production count_keys (mirrors run_train_loop): the FFM variant must
+    # stage batches WITH ffm_counts or its step probe takes the device-sort
+    # batch_mean fallback (~2x) and its payload understates the pipeline
+    model = FwModel(mi, precision="default")
+    count_keys = {}
+    if model.opt_lr.batch_mean:
+        count_keys["lr"] = 0
+    if (model.has_ffm and model.opt_ffm.batch_mean
+            and model.ffm_spec.rows_per_slab == 1):
+        count_keys["ffm"] = (model.ffm_spec.align - 1).bit_length()
+    count_keys = count_keys or None
 
     # -- ingest only (and keep a few batches for the other phases)
     # count_keys mirrors the production loop: the Eat-Rate config is
@@ -412,7 +423,7 @@ def bench_decomposition(rows: int, extra_argv: tuple = (),
     count = 0
     t0 = time.perf_counter()
     for bd, k in native_batch_stream(args, mi, vw, 32768,
-                                     count_keys={"lr": 0}):
+                                     count_keys=count_keys):
         if len(staged) < K and k == 32768:  # full batches only: a tail
             staged.append(bd)               # batch has different shapes
         count += k
@@ -430,14 +441,14 @@ def bench_decomposition(rows: int, extra_argv: tuple = (),
         cargs = build_parser().parse_args(_base_argv(data) + ["-c"])
         count_c = 0
         for _bd, k in native_batch_stream(cargs, mi, vw, 32768,
-                                          count_keys={"lr": 0}):
+                                          count_keys=count_keys):
             count_c += k  # first pass may parse text AND write the cache
             if count_c >= n:
                 break
         count_c = 0
         t0 = time.perf_counter()
         for _bd, k in native_batch_stream(cargs, mi, vw, 32768,
-                                          count_keys={"lr": 0}):
+                                          count_keys=count_keys):
             count_c += k
             if count_c >= n:
                 break
@@ -484,7 +495,6 @@ def bench_decomposition(rows: int, extra_argv: tuple = (),
     # -- step only: the packed train step (unpack + K scanned steps) on the
     # device-resident buffer — a single dispatch, so the tunnel's per-call
     # RPC latency cannot touch the measurement
-    model = FwModel(mi, precision="default")
     step_fn = packed_mod.make_packed_train_step(model, lay, K)
     # vocab-encoded layouts take the device-resident dictionary snapshot
     # as a third (non-donated) argument
@@ -856,8 +866,9 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         d = extras["ffm_detail"]
         _rss_phase(rssp, "ffm_train")
         checkpoint()
-        print(f"# ffm-train (k=8, cache): {r['examples']/r['elapsed']:,.0f} "
-              f"ex/s — bottleneck {d['bottleneck']} (min-stage "
+        print(f"# ffm-train (k=8, cache): mean "
+              f"{np.mean(fruns):,.0f}, best {max(fruns):,.0f} ex/s over "
+              f"{len(fruns)} runs — bottleneck {d['bottleneck']} (min-stage "
               f"{d['min_stage_ex_s']}/s), payload {d['payload_b_per_ex']} "
               f"B/ex, efficiency {d['pipeline_efficiency']} "
               f"(target: docs/FFM_PERF.md)", file=sys.stderr)

@@ -244,13 +244,7 @@ class ScopedOptimizer:
                 # per weight (LR) / per window (FFM) — the same granularity
                 # as the device path's per-lane run counts. uint8 arrays are
                 # soft-float codes (see decode_counts).
-                c = counts
-                if c.dtype == jnp.uint8:
-                    c = decode_counts(c)
-                c = jnp.maximum(c.astype(jnp.float32), 1.0)
-                grows = grows * jnp.minimum(
-                    jnp.float32(1.0), jnp.float32(self.batch_cap) / c
-                )[:, None]
+                grows = grows * self.count_factor(counts)[:, None]
             else:
                 grows = batch_mean_grads(w.shape[0], rid, grows, self.batch_cap)
         if self._use_pallas(w.shape[0], rid.shape[0]):

@@ -895,7 +895,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                             vocab_state.venc.clear_dirty()
                         pq.put(("v", snap))
                     if len(group) in (1, K):
-                        buf = packed_mod.pack(glay, [g[1] for g in group])
+                        buf = packed_mod.pack(glay, group)
                         _tp = time.perf_counter()
                         pq.put(("p", buf, glay, group_n))
                     else:
@@ -911,8 +911,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                         while i < len(group):
                             kk = next(s for s in sizes
                                       if s <= len(group) - i)
-                            buf = packed_mod.pack(
-                                glay, [g[1] for g in group[i:i + kk]])
+                            buf = packed_mod.pack(glay, group[i:i + kk])
                             pq.put(("p", buf, glay, kk * batch_size))
                             i += kk
                     if len(group) == K:
@@ -974,7 +973,11 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                                     _play.words * 4 / batch_size)
                     if lay is not None and n == batch_size and (
                             glay is None or lay.signature == glay.signature):
-                        group.append((bd, slim))
+                        # only the slimmed dict is retained: keeping the
+                        # original too held up to K full [32768, W] batch
+                        # dicts alive per pending group (tens of MB) for
+                        # nothing since the unpacked-tail path was removed
+                        group.append(slim)
                         group_n += n
                         glay = lay
                         if len(group) == K:
@@ -982,7 +985,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                     else:
                         flush_group()
                         if lay is not None:
-                            group, glay, group_n = [(bd, slim)], lay, n
+                            group, glay, group_n = [slim], lay, n
                             if n != batch_size:
                                 flush_group()  # solo: padded partial batch
                         else:
@@ -1042,8 +1045,10 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
             except BaseException as e:  # noqa: BLE001 — re-raised on consumer
                 q2.put(e)
 
-        threading.Thread(target=producer, daemon=True).start()
-        threading.Thread(target=transferrer, daemon=True).start()
+        _prod_t = threading.Thread(target=producer, daemon=True)
+        _xfer_t = threading.Thread(target=transferrer, daemon=True)
+        _prod_t.start()
+        _xfer_t.start()
 
         # fetch-ring (EXPERIMENTAL, default OFF): each packed step writes
         # its [K, B] predictions into row `slot` of a device-resident
@@ -1148,6 +1153,12 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 _flush_ring()  # keep the prediction stream in order
                 params = process(params, bd, n, placed=True)
         _flush_ring()
+        # the producer writes ctr['producer_busy_s'] in its finally block,
+        # which can race finish_run's counter snapshot (the consumer can
+        # drain the final None before the producer's finally runs) — join
+        # both stage threads first
+        _prod_t.join(timeout=10.0)
+        _xfer_t.join(timeout=10.0)
         if vocab_state is not None:
             vocab_state.close()
     else:

@@ -296,18 +296,36 @@ class VocabTransferState:
         # for the whole run instead of a mid-run re-signature + recompile
         self.venc = None
         self.max_cap = max_cap
+        self._grow_to = 0  # deferred-recreation width (see encoder_for)
         # latched once encoding can never pay off (dictionary widths only
         # grow, so a no-saving verdict is permanent) — stops the per-batch
         # native sweep on schemas where vocab encoding never engages
         self.disabled = False
 
     def encoder_for(self, n_cols: int):
-        if self.venc is None or self.venc.n_cols < n_cols:
-            if self.venc is not None:
+        if self.venc is not None and self.venc.n_cols < n_cols:
+            # DEFER recreation (r4 review): a pending packed group may
+            # still need the OLD dictionaries for its snapshot export —
+            # recreating here would flush that group against re-minted,
+            # differently-ordered entries (silent wrong-id resolution).
+            # Returning None ships THIS batch plain; its signature
+            # mismatch flushes the pending group (old snapshot exported
+            # by the producer, synchronously) and the next call recreates
+            # safely.
+            if self._grow_to:
+                # the flush already happened while processing the plain
+                # batch above; recreate now at the grown width
                 self.venc.close()
+                self.venc = None
+            else:
+                self._grow_to = n_cols
+                return None
+        if self.venc is None:
             from .. import native as fw_native
 
-            self.venc = fw_native.VocabEncoder(max(n_cols, 16), self.max_cap)
+            self.venc = fw_native.VocabEncoder(
+                max(n_cols, self._grow_to, 16), self.max_cap)
+            self._grow_to = 0
         return self.venc
 
     def close(self):
@@ -355,6 +373,8 @@ def encode_vocab_ids(slim: dict, appends: tuple, mi,
                      and mi.bit_precision + shift_bits <= 31)
     W = ids.shape[1]
     venc = state.encoder_for(W)
+    if venc is None:  # deferred encoder recreation: ship plain this batch
+        return slim, appends, (), (), None
     res = venc.encode2(ids, mi.bit_precision if combos_packed else 0,
                        mi.lr_hash_mask)
     if res is None:

@@ -7,11 +7,13 @@ variants on the same device-resident superbatch:
   full      — production packed train step (unpack + K steps)
   forward   — unpack + forward only (gathers + dense + loss), no updates
   no_counts — full step with the batch-mean multiplicity cap ablated
-  no_dedup  — full step with the per-example dedup segment-sum ablated
-              (semantics change — timing probe only)
 
-The deltas attribute the step's µs/ex to update/scatter, dedup, counts
-decode, and forward. Usage: python scripts/step_profile.py [--bits 25]
+The deltas attribute the step's µs/ex to the update/scatter path, the
+counts scaling, and the forward. (An earlier no_dedup variant was void:
+the monkeypatch restored tables.dedup_rows before jit TRACING happened
+at the first warm call, and the production batch-mean path routes
+through expand_scalar_grads_dedup anyway — it compiled the identical
+program as `full`.) Usage: python scripts/step_profile.py [--bits 25]
 """
 
 import sys
@@ -79,18 +81,6 @@ def main() -> int:
     mi2 = ModelInstance.from_cmdline(args, vw)
     m2 = FwModel(mi2, precision="default", batch_mean_mode="off")
     variants["no_counts"] = (m2, P.make_packed_train_step(m2, lay, K))
-
-    # no_dedup: monkeypatch dedup_rows to identity for a timing probe
-    from fwumious_wabbit_tpu.ops import tables as T
-
-    orig = T.dedup_rows
-    T.dedup_rows = lambda rid, grows, batch, keys=None: (rid, grows)
-    try:
-        mi3 = ModelInstance.from_cmdline(args, vw)
-        m3 = FwModel(mi3, precision="default")
-        variants["no_dedup"] = (m3, P.make_packed_train_step(m3, lay, K))
-    finally:
-        T.dedup_rows = orig
 
     # warm all
     states = {}
