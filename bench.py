@@ -79,7 +79,13 @@ def summarize_counters(c: dict, n: int, t_run_start: float) -> dict:
         "device": min(el, c.get("dispatch_s", 0.0)
                       + c.get("fetch_force_s", 0.0)),
     }
-    bottleneck = max(stages, key=stages.get)
+    # the device sum double-counts wall overlap between the two threads
+    # (ADVICE r4): attribute the bottleneck with the LOWER bound
+    # max(dispatch, fetch) so 'device' can't win on double-counting alone;
+    # both bounds are reported
+    device_lb = max(c.get("dispatch_s", 0.0), c.get("fetch_force_s", 0.0))
+    lb_stages = dict(stages, device=device_lb)
+    bottleneck = max(lb_stages, key=lb_stages.get)
     busy = stages[bottleneck]
     xb = c.get("xfer_busy_s", 0.0)
     out = {
@@ -91,6 +97,7 @@ def summarize_counters(c: dict, n: int, t_run_start: float) -> dict:
         "in_run_link_mb_s": round(
             c.get("xfer_bytes", 0) / max(xb, 1e-9) / 1e6, 1) if xb else None,
         "stage_busy_s": {k: round(v, 2) for k, v in stages.items()},
+        "device_busy_lb_s": round(device_lb, 2),
         "stage_ex_s": {k: (round(n / v) if v > 0.05 else None)
                        for k, v in stages.items()},
         "stalls_s": {
@@ -115,6 +122,21 @@ def summarize_counters(c: dict, n: int, t_run_start: float) -> dict:
         # payload — the link-utilization half of the roofline story
         "link_util": round(xb / el, 3),
     }
+    # per-thread CPU attribution (VERDICT r4 #2): thread CPU seconds from
+    # clockid CLOCK_THREAD_CPUTIME_ID per stage, immune to CPU theft (a
+    # stolen window shows wall >> cpu) — localizes the 1M→10M per-example
+    # CPU inflation to a stage
+    cpu = c.get("cpu_s_by_thread")
+    if cpu:
+        out["cpu_s_by_thread"] = {k: round(v, 3) for k, v in cpu.items()}
+        if cpu.get("producer"):
+            out["producer_cpu_us_per_ex"] = round(
+                cpu["producer"] / max(n, 1) * 1e6, 3)
+    if c.get("counters_partial"):
+        # a stage thread outlived its join: its counters were snapshotted
+        # before the finally block ran — do not trust the attribution
+        out["counters_partial"] = True
+        out["bottleneck"] = "unknown(partial)"
     return out
 
 

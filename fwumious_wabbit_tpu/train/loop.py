@@ -98,47 +98,6 @@ def build_cache_without_training(args, vw: VwNamespaceMap) -> int:
     return n
 
 
-class PredictionWriter:
-    """Writes '{:.6f}' lines to a file and/or stdout
-    (reference: src/main.rs:260-269). The file is written in binary so the
-    C-formatted byte blocks go straight through (a str round-trip measured
-    ~0.3 s per 10⁶ predictions — on the predict-mode critical path)."""
-
-    def __init__(self, path: str | None, to_stdout: bool):
-        self._fh = open(path, "wb") if path else None
-        self._stdout = to_stdout
-
-    @property
-    def active(self) -> bool:
-        return self._fh is not None or self._stdout
-
-    def write(self, p: float) -> None:
-        line = f"{p:.6f}\n".encode()
-        if self._fh:
-            self._fh.write(line)
-        if self._stdout:
-            sys.stdout.buffer.write(line)
-
-    def write_block(self, preds: np.ndarray) -> None:
-        """Vectorized block write (C-side %.6f formatting)."""
-        if not self.active or preds.size == 0:
-            return
-        from .. import native as fw_native
-
-        raw = fw_native.format_preds(preds)
-        if raw is None:
-            raw = ("\n".join(np.char.mod("%.6f", preds)) + "\n").encode()
-        if self._fh:
-            self._fh.write(raw)
-        if self._stdout:
-            sys.stdout.buffer.write(raw)
-            sys.stdout.flush()
-
-    def close(self) -> None:
-        if self._fh:
-            self._fh.close()
-
-
 def _batch_dict(batch) -> dict:
     return {
         "label": batch.label,
@@ -152,261 +111,22 @@ def _batch_dict(batch) -> dict:
     }
 
 
-def native_batch_stream(args, mi: ModelInstance, vw: VwNamespaceMap,
-                        batch_size: int, cut_at: int | None = None,
-                        count_keys: dict | None = None):
-    """Yield (batch_dict, n_examples) using the C++ ingest engine
-    (fwumious_wabbit_tpu/native): text or cache records are translated in
-    parallel and scattered straight into padded arrays. Behaviourally
-    identical to the Python path (cross-checked in tests); padded widths are
-    exact with a high-water mark, so a stable schema compiles one shape.
+# the producer pipeline stages live in train/producer.py; the stream is
+# re-exported here because bench.py and the probe scripts import it from
+# the loop module
+from .producer import native_batch_stream  # noqa: E402,F401
 
-    ``cut_at``: an absolute example number a block must not cross (the
-    train/holdout boundary). Line blocks are cut conservatively by line
-    count — in-band command lines only shrink a block, never push an
-    example past the boundary."""
-    from .. import native as fw_native
+# prediction output + the embedded-engine predict mode live in
+# train/predict.py; re-exported for existing imports (tests, bench)
+from .predict import (  # noqa: E402,F401
+    PredictionWriter,
+    native_predict_eligible,
+    run_native_predict,
+)
 
-    ni = fw_native.NativeIngest(mi, vw)
-    input_filename = args.data
-    # high-water exact batch widths: padded width only ever grows (one jit
-    # re-specialization per growth, usually none — schemas have a fixed
-    # entry count). Power-of-two bucketing cost 18% pure padding on the
-    # 13-wide Eat-Rate schema, straight into the transfer and scatter
-    # streams. Floor of 4 avoids degenerate sub-lane widths.
-    hw = {"L": 4, "N": 4 if mi.ffm_k > 0 else 0}
-
-    def widths():
-        lmax, nmax = ni.widths()
-        hw["L"] = max(hw["L"], lmax)
-        if mi.ffm_k > 0:
-            hw["N"] = max(hw["N"], nmax)
-        return hw["L"], hw["N"]
-    use_cache = bool(getattr(args, "cache", False))
-    cpath = fwcache.cache_path_for(input_filename)
-    emitted = 0
-
-    # pack combo+1 into the id bits above bit_precision when it fits —
-    # drops the combos array from the transfer (padding packs as 0 → −1)
-    pack_shift = (
-        mi.bit_precision
-        if mi.bit_precision + (mi.num_combos + 1).bit_length() <= 31
-        else None
-    )
-
-    def slim(bd, n):
-        """Shrink the batch payload: drop all-ones value arrays (padding is
-        inert via combo/field −1 one-hots), pack combos into id bits, u8
-        labels, and drop all-ones importance for full (padding-free)
-        batches."""
-        if count_keys is not None:
-            # host-side multiplicity counts for the batch-mean cap: a
-            # ~14 ms radix pass on the producer thread replaces a ~32 ms
-            # device-side sort per step (ops/adagrad.batch_mean_grads;
-            # measured step 72 -> 31.5 ms at B=32k). Computed on the
-            # pre-pack masked ids with the padding marks still present.
-            flags0 = ni.all_ones_flags()
-            if "lr" in count_keys:
-                bd["lr_counts"] = ni.batch_counts(
-                    bd["lr_ids"], bd["lr_combos"], count_keys["lr"],
-                    vals=None if flags0 & 1 else bd["lr_vals"])
-            if "ffm" in count_keys and mi.ffm_k > 0:
-                bd["ffm_counts"] = ni.batch_counts(
-                    bd["ffm_ids"], bd["ffm_fields"], count_keys["ffm"],
-                    vals=None if flags0 & 2 else bd["ffm_vals"])
-        flags = ni.all_ones_flags()
-        if flags & 1:
-            del bd["lr_vals"]
-        if flags & 2 and mi.ffm_k > 0:
-            del bd["ffm_vals"]
-        if pack_shift is not None:
-            # in-place: one i32 temp for the widened combos, then
-            # add/shift/or reuse it (4 fresh [B, W] temporaries measured
-            # ~2 ms/batch on the producer's critical path)
-            c32 = bd["lr_combos"].astype(np.int32)
-            np.add(c32, 1, out=c32)
-            np.left_shift(c32, pack_shift, out=c32)
-            np.bitwise_or(bd["lr_ids"], c32, out=bd["lr_ids"])
-            del bd["lr_combos"]
-        bd["label"] = bd["label"].astype(np.uint8)
-        if flags & 4 and n == batch_size:
-            del bd["importance"]
-        return bd
-
-    def block_cap() -> int:
-        if cut_at is None or emitted >= cut_at:
-            return batch_size
-        return min(batch_size, cut_at - emitted)
-
-    if use_cache and Path(cpath).exists():
-        try:
-            reader = fwcache.RecordCacheReader(cpath, vw)
-            log.info("using cache file %s", cpath)
-            tail = b""
-            while True:
-                chunk = reader.read_chunk()
-                if not chunk and not tail:
-                    break
-                buf = tail + chunk
-                words = len(buf) // 4
-                if words == 0:
-                    if not chunk:
-                        raise ValueError("truncated cache file")
-                    tail = buf
-                    continue
-                arr = np.frombuffer(buf[: words * 4], np.uint32)
-                n = ni.translate_records(arr)
-                consumed = ni.records_consumed()
-                if not chunk and consumed < words:
-                    raise ValueError("truncated cache file")
-                tail = buf[consumed * 4:]
-                if n == 0:
-                    continue
-                L, N = widths()
-                s = 0
-                while s < n:
-                    cap = min(block_cap(), n - s)
-                    yield slim(ni.fill_range(s, cap, batch_size, L, N), cap), cap
-                    emitted += cap
-                    s += cap
-            return
-        except (fwcache.StaleCacheError, ValueError) as e:
-            log.warning("cache rejected (%s); reparsing", e)
-
-    writer = fwcache.RecordCacheWriter(cpath, vw) if use_cache else None
-    if writer is None:
-        ni.set_build_records(False)
-    stream = create_buffered_input(input_filename)
-    CHUNK_BYTES = 64 << 20  # big chunks: at most one padded partial batch per chunk
-    try:
-        tail = b""
-        at_eof = False
-        while not at_eof:
-            raw = stream.read(CHUNK_BYTES)
-            if not raw:
-                at_eof = True
-                raw = tail
-                tail = b""
-            else:
-                raw = tail + raw
-                # carry the trailing partial line to the next chunk
-                nl = raw.rfind(b"\n")
-                if nl < 0:
-                    tail, raw = raw, b""
-                else:
-                    tail, raw = raw[nl + 1 :], raw[: nl + 1]
-            if not raw:
-                continue
-            n = ni.translate_block(raw)
-            # empty line = end of stream, mirroring the reference's size-0
-            # record (src/main.rs:215-222) — detected during the C parse
-            # walk itself (anything after it, including in-band commands,
-            # is never seen); the former per-chunk Python "\n\n"/"\n\r\n"
-            # pre-scans cost ~9% of ingest CPU
-            if ni.stop_offset() >= 0:
-                at_eof = True
-                tail = b""
-            if not n:
-                continue
-            if writer is not None:
-                writer.push_record(ni.records())
-            L, N = widths()
-            s = 0
-            while s < n:
-                cap = min(block_cap(), n - s)
-                yield slim(ni.fill_range(s, cap, batch_size, L, N), cap), cap
-                emitted += cap
-                s += cap
-    except BaseException:
-        if writer is not None:
-            writer.abort()  # never publish a truncated cache
-        raise
-    else:
-        if writer is not None:
-            writer.write_finish()
-
-
-def native_predict_eligible(args) -> bool:
-    """True when --testonly should run on the embedded C++ engine: the
-    reference's predict mode is a host-side per-line forward loop
-    (reference: src/main.rs:213-270 with update=false, ~592k lines/s,
-    BENCHMARK.md:22); the embedded engine does the identical forward at
-    ~1M lines/s with zero device-link round-trips. Requires a model FILE
-    (-i) — the engine loads weights itself. Falls back to the device path
-    for: cache-driven runs (-c keeps the reference's cache read/write
-    semantics), multi-device meshes, --fwt_serve_engine device, or
-    --fwt_no_native."""
-    return bool(
-        getattr(args, "testonly", False)
-        and getattr(args, "initial_regressor", None)
-        and getattr(args, "data", None)
-        and not getattr(args, "cache", False)
-        and not getattr(args, "final_regressor", None)
-        and not getattr(args, "fwt_no_native", False)
-        and (getattr(args, "fwt_serve_engine", "auto") or "auto") != "device"
-        and int(getattr(args, "fwt_table_axis", 1) or 1) <= 1
-        and (getattr(args, "fwt_data_axis", None) in (None, 1))
-        and not getattr(args, "prediction_model_delay", None)
-    )
-
-
-def run_native_predict(args, pred=None) -> dict:
-    """--testonly via the embedded C++ engine (see native_predict_eligible).
-
-    Streams the input file in chunks through fw_predict_block; behavior
-    matches the device loop: predictions '{:.6f}' after --predictions_after,
-    empty line ends the stream, in-band commands abort the run like the
-    reference (src/main.rs:218-221). Runs with --final_regressor are NOT
-    eligible (main()'s device path writes the model file after the loop;
-    this path returns before that tail)."""
-    from .. import native as fw_native
-
-    if pred is None:
-        pred = fw_native.EmbeddedPredictor(f"-i {args.initial_regressor}")
-    writer = PredictionWriter(
-        getattr(args, "predictions", None),
-        bool(getattr(args, "predictions_stdout", False)),
-    )
-    predictions_after = int(getattr(args, "predictions_after", None) or 0)
-    stream = create_buffered_input(args.data)
-    t0 = time.time()
-    n_done = 0
-    CHUNK = 16 << 20
-    tail = b""
-    try:
-        while True:
-            raw = stream.read(CHUNK)
-            if not raw:
-                if not tail:
-                    break
-                # un-terminated final line
-                buf, at_eof = tail + b"\n", True
-            else:
-                buf, at_eof = tail + raw, False
-            preds, consumed, status = pred.predict_block_mt(buf)
-            tail = buf[consumed:]
-            if preds.size:
-                first_num = n_done + 1
-                n_done += preds.size
-                skip = max(0, predictions_after - first_num + 1)
-                writer.write_block(preds[skip:])
-            if status == fw_native.EmbeddedPredictor.BLOCK_EOF:
-                break
-            if status == fw_native.EmbeddedPredictor.BLOCK_FLUSH:
-                raise FlushCommand("flush")
-            if status == fw_native.EmbeddedPredictor.BLOCK_HOGWILD:
-                raise HogwildLoadCommand("hogwild_load")
-            if status == fw_native.EmbeddedPredictor.BLOCK_ERROR:
-                raise ValueError(pred.last_error())
-            if at_eof:
-                break
-    finally:
-        writer.close()
-        pred.close()
-    elapsed = time.time() - t0
-    log.info("Elapsed: %.2fs rows: %d (%.0f ex/s) [native predict engine]",
-             elapsed, n_done, n_done / max(elapsed, 1e-9))
-    return {"params": None, "examples": n_done, "elapsed": elapsed}
+# the persistent XLA compile-cache setup lives in utils/compile_cache.py;
+# re-exported for existing imports (bench.py, scripts)
+from ..utils.compile_cache import configure_compile_cache  # noqa: E402,F401
 
 
 def _use_native(args, mi) -> bool:
@@ -510,6 +230,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     example_num = 0
     t0 = time.time()
     t0_cpu = time.process_time()
+    t0_thread = time.thread_time()  # main (consumer) thread CPU
 
     # in-run pipeline counters: busy/stall seconds accumulated INSIDE the
     # timed window by each stage's own thread, so stage rates and
@@ -548,6 +269,8 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 "and their updates were skipped) — raise --fwt_a2a_capacity "
                 "if the id distribution is skewed", dropped)
         elapsed = time.time() - t0
+        ctr.setdefault("cpu_s_by_thread", {})["consumer"] = (
+            time.thread_time() - t0_thread)
         log.info("Elapsed: %.2fs rows: %d (%.0f ex/s)", elapsed, example_num,
                  example_num / max(elapsed, 1e-9))
         return {"params": params, "examples": example_num,
@@ -575,6 +298,7 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
     _fetch_stats = {"last_ms": 0.0}
 
     def _pred_writer():
+        _cpu0 = time.thread_time()
         try:
             while (item := _wq.get()) is not None:
                 preds, metas = item
@@ -604,6 +328,9 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
             _werr.append(e)
             while _wq.get() is not None:  # unblock the producer
                 pass
+        finally:
+            ctr.setdefault("cpu_s_by_thread", {})["writer"] = (
+                time.thread_time() - _cpu0)
 
     _wt = _threading.Thread(target=_pred_writer, daemon=True)
     _wt.start()
@@ -760,293 +487,25 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
                 except OSError as e:
                     log.warning("pack cache disabled (%s)", e)
 
-        # --- adaptive vocab (only --fwt_vocab auto): the dictionary encode
-        # costs producer CPU (~0.24 µs/ex measured) to shrink the uplink
-        # payload ~1.55×. Which side wins depends on the live tunnel
-        # window: producer-bound runs on fast links should drop the encode,
-        # transfer-bound runs must keep it. The transferrer publishes
-        # starvation + bandwidth; the producer flips the encoder off
-        # ONE-WAY when (a) the transferrer mostly starves waiting on the
-        # producer AND (b) the predicted no-vocab floor min(producer,
-        # transfer) clears the current floor with 1.2× hysteresis. A flip
-        # re-signatures the layout (one extra compile, usually served by
-        # the persistent compile cache).
+        # the producer (C++ ingest → slim → superbatch pack, adaptive vocab
+        # flip, pack-cache recording) and the transferrer live in
+        # train/producer.py — unit-testable without the CLI
+        from .producer import SuperbatchProducer, run_transferrer
+
         _xfer_stats = {"starve_s": 0.0, "xfer_s": 0.0, "put_s": 0.0,
                        "bytes": 0}
-        _vflip_env = os.environ.get("FWT_VOCAB_FLIP", "auto")
-        _vocab_adaptive = (vocab_state is not None and _vflip_env != "off"
-                           and (getattr(args, "fwt_vocab", "auto") or "auto")
-                           == "auto")
+        _sbp = SuperbatchProducer(
+            args, mi, vw, batch_size=batch_size, K=K, can_pack=can_pack,
+            count_keys=count_keys, cut_at=cut_at,
+            holdout_after=holdout_after, out_queue=q, ctr=ctr,
+            xfer_stats=_xfer_stats, vocab_state=vocab_state,
+            pack_iter=pack_iter, pack_writer=pack_writer,
+            bitpack_on=bitpack_on)
 
-        def producer():
-            _pq = q
-            if pack_writer is not None:
-                from . import pack_cache as pcache
-
-                _pq = pcache.RecordingQueue(q, pack_writer)
-
-            class _TimedQ:  # count queue backpressure as producer stall
-                def put(self, item):
-                    _t = time.perf_counter()
-                    _pq.put(item)
-                    ctr["producer_stall_s"] += time.perf_counter() - _t
-
-            pq = _TimedQ()
-            _span0 = time.perf_counter()
-            try:
-                if pack_iter is not None:
-                    for item in pack_iter:
-                        pq.put(item)
-                    pq.put(None)
-                    return
-                group: list = []
-                group_n = 0
-                glay = None
-                seen = 0
-                # adaptive-vocab accounting (full superbatches only)
-                vstat = {"probe": None, "t_work": 0.0, "t_put": 0.0,
-                         "ex": 0, "groups": 0, "t_mark": time.perf_counter()}
-
-                def _maybe_flip_vocab():
-                    """One-way: disable the dictionary encode when the
-                    producer is the certified pipeline floor and the fatter
-                    plain payload would not become a worse one."""
-                    if not _vocab_adaptive or vocab_state.disabled:
-                        return
-                    if _vflip_env == "force":
-                        vocab_state.disabled = True
-                        log.info("adaptive vocab: encode disabled (forced)")
-                        return
-                    if vstat["probe"] is None or vstat["groups"] < 3:
-                        return  # 3 full groups/window: a 1M-row run only
-                        # produces 3 (the old floor of 8 needed 2.1M rows
-                        # and the flip could never fire inside the
-                        # benchmark's timed runs)
-                    dt_prep, s_off = vstat["probe"]
-                    t_work = vstat["t_work"] - vstat["t_put"]
-                    if t_work <= 0 or vstat["ex"] == 0:
-                        return
-                    p_on = vstat["ex"] / t_work
-                    # dt_prep is PER EXAMPLE (the probe divides by
-                    # batch_size) — the old `* groups * K` undercounted by
-                    # batch_size, so the predicted no-vocab rate always
-                    # equaled the current one and the flip never fired
-                    t_off = t_work - dt_prep * vstat["ex"]
-                    p_off = vstat["ex"] / max(t_off, 1e-9)
-                    st = _xfer_stats
-                    busy = st["starve_s"] + st["xfer_s"] + st["put_s"]
-                    if busy <= 0 or st["xfer_s"] <= 0 or st["bytes"] == 0:
-                        return
-                    starve_frac = st["starve_s"] / busy
-                    bw = st["bytes"] / st["xfer_s"]  # payload B/s over the link
-                    s_on = st["bytes"] / vstat["ex"]
-                    r_on = bw / s_on
-                    r_off = bw / max(s_off, 1.0)
-                    if os.environ.get("FWT_VOCAB_DEBUG"):
-                        log.info(
-                            "vocab-flip eval: starve %.2f, p_on %.0fk, "
-                            "p_off %.0fk, r_on %.0fk, r_off %.0fk, "
-                            "dt_prep %.3fus, s_on %.1f s_off %.1f",
-                            starve_frac, p_on / 1e3, p_off / 1e3,
-                            r_on / 1e3, r_off / 1e3, dt_prep * 1e6,
-                            s_on, s_off)
-                    if starve_frac > 0.6 and \
-                            min(p_off, r_off) > 1.05 * min(p_on, r_on):
-                        # hysteresis 1.05 (was 1.2): a flip costs one
-                        # re-signature compile, now served by the
-                        # persistent compile cache — the old margin
-                        # blocked measured ~8% producer wins
-                        vocab_state.disabled = True
-                        log.info(
-                            "adaptive vocab: encode disabled (producer-bound:"
-                            " starve %.0f%%, producer %.0fk→%.0fk ex/s,"
-                            " transfer %.0fk→%.0fk ex/s at %.1f MB/s)",
-                            100 * starve_frac, p_on / 1e3, p_off / 1e3,
-                            r_on / 1e3, r_off / 1e3, bw / 1e6)
-                    # reset the window either way: decisions use fresh data
-                    vstat.update(t_work=0.0, t_put=0.0, ex=0, groups=0)
-                    st.update(starve_s=0.0, xfer_s=0.0, put_s=0.0, bytes=0)
-
-                def flush_group():
-                    nonlocal group, glay, group_n
-                    if not group:
-                        return
-                    # short groups pack too: a K'-sized scan program is one
-                    # extra compile, served by the persistent compile cache
-                    # on re-runs, vs K' batches down the slow per-array
-                    # device_put path (on a 1M-row run the tail held ~20%
-                    # of the examples; measured in-run counters r4)
-                    if glay.vocabs and vocab_state.venc is not None \
-                            and vocab_state.venc.dirty:
-                        snap = packed_mod.export_vocab(
-                            vocab_state.venc, glay.vocabs[0])
-                        # clear the growth flag ONLY if this snapshot fully
-                        # covers the dictionaries: the batch that ENDED this
-                        # group (already encoded, different signature,
-                        # flushed next) may have grown a column past this
-                        # layout's region — its own flush must re-export
-                        # with its wider layout. (r4 bug: unconditional
-                        # clear shipped that group against a stale
-                        # snapshot → garbage id resolution.)
-                        _key0, _w0, _b0, _n0 = glay.vocabs[0]
-                        if all(b < 0
-                               or vocab_state.venc.col_size(j) <= (1 << w)
-                               for j, (w, b) in enumerate(zip(_w0, _b0))):
-                            vocab_state.venc.clear_dirty()
-                        pq.put(("v", snap))
-                    if len(group) in (1, K):
-                        buf = packed_mod.pack(glay, group)
-                        _tp = time.perf_counter()
-                        pq.put(("p", buf, glay, group_n))
-                    else:
-                        # split short tails into CANONICAL scan lengths
-                        # (K, then descending powers of two): every K'
-                        # would otherwise compile its own program, and
-                        # early-run vocab re-signatures times arbitrary
-                        # K' measured ~150 s of extra first-compiles in
-                        # one warm pass
-                        sizes = [K] + [p for p in (8, 4, 2, 1) if p < K]
-                        i = 0
-                        _tp = time.perf_counter()
-                        while i < len(group):
-                            kk = next(s for s in sizes
-                                      if s <= len(group) - i)
-                            buf = packed_mod.pack(glay, group[i:i + kk])
-                            pq.put(("p", buf, glay, kk * batch_size))
-                            i += kk
-                    if len(group) == K:
-                        # adaptive-vocab accounting: full groups only (the
-                        # flip arithmetic normalizes per-group)
-                        _now = time.perf_counter()
-                        vstat["t_put"] += _now - _tp
-                        vstat["t_work"] += _now - vstat["t_mark"]
-                        vstat["t_mark"] = _now
-                        vstat["ex"] += K * batch_size
-                        vstat["groups"] += 1
-                        if glay.vocabs:
-                            _maybe_flip_vocab()
-                    else:
-                        vstat["t_mark"] = time.perf_counter()
-                    group, glay, group_n = [], None, 0
-
-                for bd, n in native_batch_stream(args, mi, vw, batch_size,
-                                                 cut_at, count_keys):
-                    lay = None
-                    slim = bd
-                    # partial (padded) batches pack too, as their own solo
-                    # group: the arrays are already [batch_size, W] with
-                    # inert padding rows, so one packed buffer beats the
-                    # per-array device_put path (the 1M bench's 17k-row
-                    # tail measured ~5% of the wall clock on that path)
-                    if (can_pack
-                            and (holdout_after is None or seen < cut_at)):
-                        # constant-feature column elision + id bit-packing
-                        # + vocab indexing: pure transfer savings, undone
-                        # device-side (packed.py unpack_row)
-                        _t0 = time.perf_counter()
-                        # partial (padded) batches stay OFF the vocab
-                        # encoder: their constant column is not stripped
-                        # (padding rows break the constancy test), so
-                        # column j is a different logical column than in
-                        # full batches — feeding them would pollute the
-                        # persistent dictionaries with misaligned ids and
-                        # padding garbage
-                        slim, *spec = packed_mod.prepare_for_transfer(
-                            bd, mi, bitpack=bitpack_on,
-                            vocab_state=vocab_state if n == batch_size
-                            else None)
-                        _t_on = time.perf_counter() - _t0
-                        lay = packed_mod.layout_of(slim, *spec)
-                        if _vocab_adaptive and vstat["probe"] is None \
-                                and vstat["groups"] >= 1 \
-                                and lay is not None and lay.vocabs:
-                            # one-time probe: the plain (no-vocab) prepare's
-                            # cost and payload, for the flip arithmetic
-                            _t0 = time.perf_counter()
-                            plain, *pspec = packed_mod.prepare_for_transfer(
-                                bd, mi, bitpack=bitpack_on, vocab_state=None)
-                            _t_off = time.perf_counter() - _t0
-                            _play = packed_mod.layout_of(plain, *pspec)
-                            if _play is not None:
-                                vstat["probe"] = (
-                                    max(_t_on - _t_off, 0.0) / batch_size,
-                                    _play.words * 4 / batch_size)
-                    if lay is not None and n == batch_size and (
-                            glay is None or lay.signature == glay.signature):
-                        # only the slimmed dict is retained: keeping the
-                        # original too held up to K full [32768, W] batch
-                        # dicts alive per pending group (tens of MB) for
-                        # nothing since the unpacked-tail path was removed
-                        group.append(slim)
-                        group_n += n
-                        glay = lay
-                        if len(group) == K:
-                            flush_group()
-                    else:
-                        flush_group()
-                        if lay is not None:
-                            group, glay, group_n = [slim], lay, n
-                            if n != batch_size:
-                                flush_group()  # solo: padded partial batch
-                        else:
-                            pq.put(("s", bd, n))
-                    seen += n
-                flush_group()
-                pq.put(None)
-            except BaseException as e:  # noqa: BLE001 — re-raised downstream
-                pq.put(e)
-            finally:
-                ctr["producer_busy_s"] = (time.perf_counter() - _span0
-                                          - ctr["producer_stall_s"])
-
-        def transferrer():
-            try:
-                while True:
-                    _t0 = time.perf_counter()
-                    item = q.get()
-                    _dt = time.perf_counter() - _t0
-                    _xfer_stats["starve_s"] += _dt
-                    ctr["xfer_starve_s"] += _dt
-                    if item is None or isinstance(item, BaseException):
-                        q2.put(item)
-                        return
-                    if item[0] == "p":
-                        _, buf, lay, gn = item
-                        _t0 = time.perf_counter()
-                        dbuf = jax.device_put(buf)
-                        _dt = time.perf_counter() - _t0
-                        _xfer_stats["xfer_s"] += _dt
-                        _xfer_stats["bytes"] += buf.nbytes
-                        ctr["xfer_busy_s"] += _dt
-                        ctr["xfer_bytes"] += buf.nbytes
-                        ctr["xfer_puts"] += 1
-                        _t0 = time.perf_counter()
-                        q2.put(("p", dbuf, lay, gn))
-                        _dt = time.perf_counter() - _t0
-                        _xfer_stats["put_s"] += _dt
-                        ctr["xfer_stall_s"] += _dt
-                    elif item[0] == "v":
-                        _t0 = time.perf_counter()
-                        dv = jax.device_put(item[1])
-                        ctr["xfer_busy_s"] += time.perf_counter() - _t0
-                        ctr["xfer_bytes"] += item[1].nbytes
-                        ctr["xfer_puts"] += 1
-                        q2.put(("v", dv))
-                    else:
-                        _, bd, n = item
-                        _t0 = time.perf_counter()
-                        bd = shard_batch_fn(bd) if shard_batch_fn is not None \
-                            else jax.device_put(bd)
-                        ctr["xfer_busy_s"] += time.perf_counter() - _t0
-                        ctr["xfer_bytes"] += sum(
-                            getattr(v, "nbytes", 0) for v in bd.values())
-                        ctr["xfer_puts"] += 1
-                        q2.put(("s", bd, n))
-            except BaseException as e:  # noqa: BLE001 — re-raised on consumer
-                q2.put(e)
-
-        _prod_t = threading.Thread(target=producer, daemon=True)
-        _xfer_t = threading.Thread(target=transferrer, daemon=True)
+        _prod_t = threading.Thread(target=_sbp.run, daemon=True)
+        _xfer_t = threading.Thread(
+            target=run_transferrer, args=(q, q2, ctr, _xfer_stats),
+            kwargs={"shard_batch_fn": shard_batch_fn}, daemon=True)
         _prod_t.start()
         _xfer_t.start()
 
@@ -1159,6 +618,17 @@ def run_train_loop(args, mi: ModelInstance, vw: VwNamespaceMap, model: FwModel,
         # both stage threads first
         _prod_t.join(timeout=10.0)
         _xfer_t.join(timeout=10.0)
+        if _prod_t.is_alive() or _xfer_t.is_alive():
+            # a stage thread outlived its join (e.g. a slow pack_writer
+            # flush in the producer's exit path): its finally-block
+            # counters (producer_busy_s, cpu_s_by_thread) are not yet
+            # written, so mark the snapshot partial — bench.py must not
+            # attribute a bottleneck from it (ADVICE r4)
+            ctr["counters_partial"] = True
+            log.warning(
+                "pipeline stage thread still alive after join timeout "
+                "(producer=%s transfer=%s); in-run counters are partial",
+                _prod_t.is_alive(), _xfer_t.is_alive())
         if vocab_state is not None:
             vocab_state.close()
     else:
@@ -1226,52 +696,6 @@ def _daemonize() -> None:
         except OSError:
             pass
     os.close(devnull)
-
-
-def configure_compile_cache(args=None) -> None:
-    """Enable JAX's persistent XLA compilation cache on non-CPU platforms.
-
-    Skips the 20-40 s first-compile on every process (the step program is
-    stable across runs of one schema) and pins ONE compiled program where
-    the compiler is run-to-run nondeterministic — the whole-step timing on
-    this TPU measures bimodal between processes (CLAUDE.md); a shared
-    cache freezes whichever compilation was cached first. `--fwt_compile_cache
-    off` (or FWT_COMPILE_CACHE=off) disables; CPU runs (tests) never cache.
-    The platform must be KNOWN non-CPU before backend init (an init here
-    would defeat bench.py's host-only-first wedge ordering), so pure-auto
-    environments with no JAX_PLATFORMS hint skip the default — pass
-    --fwt_compile_cache DIR explicitly there. jax itself is only imported
-    when the cache actually engages (the native predict path must stay
-    jax-free, see the lazy-import note at the top of this module)."""
-    cache_dir = getattr(args, "fwt_compile_cache", None) if args else None
-    if cache_dir is None:
-        cache_dir = os.environ.get("FWT_COMPILE_CACHE")
-    if cache_dir == "off":
-        return
-    explicit = cache_dir is not None
-    platform = getattr(args, "fwt_platform", None) if args else None
-    if platform is None:
-        platform = ""
-        if "jax" in sys.modules:  # in-process config (tests) wins over env
-            platform = sys.modules["jax"].config.jax_platforms or ""
-        platform = platform or os.environ.get("JAX_PLATFORMS") or ""
-    # the platform string can be a priority list ("axon,cpu" from the site
-    # hook: cpu is only the FALLBACK) — judge by the first entry, not by
-    # substring ("cpu" in "axon,cpu" kept the cache off on every device
-    # run until r4)
-    plats = [p.strip() for p in str(platform).split(",") if p.strip()]
-    if (plats and plats[0] == "cpu") or (not plats and not explicit):
-        return
-    if cache_dir is None:
-        cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "fwt_xla")
-    try:
-        import jax
-
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except (OSError, AttributeError) as e:  # pragma: no cover
-        log.warning("compilation cache disabled: %s", e)
 
 
 def main(argv=None) -> int:
