@@ -128,9 +128,21 @@ def _configure(lib):
                                      P(i32)]
     lib.fwn_vocab_col_size.restype = i64
     lib.fwn_vocab_col_size.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.fwn_vocab_col_direct.restype = ctypes.c_int
+    lib.fwn_vocab_col_direct.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.fwn_vocab_dirty.restype = ctypes.c_int
     lib.fwn_vocab_dirty.argtypes = [ctypes.c_void_p]
     lib.fwn_vocab_clear_dirty.argtypes = [ctypes.c_void_p]
+    u8 = ctypes.c_uint8
+    lib.fwn_emit_fused.restype = ctypes.c_int
+    lib.fwn_emit_fused.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, i64, i64,  # ctx, vocab, start, count
+        ctypes.c_int32, u32,                          # W_all, const_id
+        P(i32), P(i32),                               # widths, tab_bases
+        ctypes.c_int32, i64, ctypes.c_int32,          # words, tab_len, n_direct
+        P(u32), P(u8), P(u8), P(u32),                 # ids, tab, direct, label
+        P(i32), P(i32),                               # combo_row, const_code
+    ]
 
 
 def _configure_ffi(lib):
@@ -390,6 +402,10 @@ class VocabEncoder:
         direct flip); -1 when out of range."""
         return int(self._lib.fwn_vocab_col_size(self._ptr, col))
 
+    def col_direct(self, col: int) -> bool:
+        """Whether column ``col`` has overflowed to direct (raw ids)."""
+        return self._lib.fwn_vocab_col_direct(self._ptr, col) == 1
+
     @property
     def dirty(self) -> bool:
         return bool(self._lib.fwn_vocab_dirty(self._ptr))
@@ -632,3 +648,31 @@ class NativeIngest:
             ids.size, shift,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         return out
+
+    def emit_fused(self, venc, start: int, count: int, W_all: int,
+                   const_id: int, widths: np.ndarray, tab_bases,
+                   words: int, tab_len: int, n_direct: int,
+                   out_ids, out_tab, out_direct, out_label,
+                   combo_row: np.ndarray, const_code: np.ndarray) -> bool:
+        """One-sweep steady-state emit of examples [start, start+count) of
+        the last translated block straight to the packed wire arrays (see
+        fw_native.cpp fwn_emit_fused for the full contract). The out_*
+        arguments are 1-D u32/u8 SLICES of the caller's buffers (typically
+        views into one packed row); ``tab_len < 0`` disables counts.
+        Returns False on bail — the caller must use the general path."""
+        Pu8 = ctypes.POINTER(ctypes.c_uint8)
+        Pu32 = ctypes.POINTER(ctypes.c_uint32)
+        Pi32 = ctypes.POINTER(ctypes.c_int32)
+        ok = self._lib.fwn_emit_fused(
+            self._ctx, venc._ptr, start, count, W_all,
+            ctypes.c_uint32(const_id),
+            widths.ctypes.data_as(Pi32),
+            None if tab_bases is None else tab_bases.ctypes.data_as(Pi32),
+            words, tab_len, n_direct,
+            out_ids.ctypes.data_as(Pu32),
+            None if out_tab is None else out_tab.ctypes.data_as(Pu8),
+            None if out_direct is None else out_direct.ctypes.data_as(Pu8),
+            out_label.ctypes.data_as(Pu32),
+            combo_row.ctypes.data_as(Pi32),
+            const_code.ctypes.data_as(Pi32))
+        return bool(ok)

@@ -429,22 +429,70 @@ static inline uint8_t encode_count(uint64_t c) {
   return uint8_t((e << 3) | (m - 8));       // 32..255
 }
 
+// Shared radix body: `cur` holds (key << 28 | entry_index) packed u64
+// entries (entry_index < 2^28); sorts by key and writes each entry's
+// 8-bit multiplicity code to out[entry_index]. Scratch persists across
+// calls (fresh vectors measured ~7 MB of malloc + zero-fill + page-fault
+// churn per 32k x 13 batch, a large share of the counts pass).
+static thread_local std::vector<uint64_t> g_radix_cur, g_radix_nxt;
+static thread_local std::vector<size_t> g_radix_hist;
+constexpr int RADIX_IDX_BITS = 28;
+constexpr int RADIX_B1 = 13;  // fixed low-digit width: 8K-bucket histogram
+// (64 KB, L2-resident) built DURING the key-build pass — an adaptive b1
+// would need `seen` first and cost one extra 8 B/entry read
+
+static void radix_emit_codes(uint32_t seen, uint8_t* out) {
+  std::vector<uint64_t>& cur = g_radix_cur;
+  std::vector<uint64_t>& nxt = g_radix_nxt;
+  std::vector<size_t>& hist = g_radix_hist;
+  size_t n = cur.size();
+  if (nxt.size() < n) nxt.resize(n);
+  int key_bits = 32;
+  while (key_bits > 1 && !(seen >> (key_bits - 1))) key_bits--;
+  if (seen == 0) key_bits = 1;
+  // pass 1: low B1 bits, histogram already built by the caller
+  {
+    size_t buckets = size_t(1) << RADIX_B1;
+    uint64_t mask = buckets - 1;
+    for (size_t b = 0; b < buckets; b++) hist[b + 1] += hist[b];
+    for (size_t i = 0; i < n; i++)
+      nxt[hist[(cur[i] >> RADIX_IDX_BITS) & mask]++] = cur[i];
+    cur.swap(nxt);
+  }
+  // pass 2: remaining high bits (hash ids are < 2^25 on typical configs,
+  // so this is ~12 bits; none needed for keys that fit B1)
+  if (key_bits > RADIX_B1) {
+    int width = key_bits - RADIX_B1;
+    size_t buckets = size_t(1) << width;
+    uint64_t mask = buckets - 1;
+    hist.assign(buckets + 1, 0);
+    for (size_t i = 0; i < n; i++)
+      hist[((cur[i] >> (RADIX_IDX_BITS + RADIX_B1)) & mask) + 1]++;
+    for (size_t b = 0; b < buckets; b++) hist[b + 1] += hist[b];
+    for (size_t i = 0; i < n; i++)
+      nxt[hist[(cur[i] >> (RADIX_IDX_BITS + RADIX_B1)) & mask]++] = cur[i];
+    cur.swap(nxt);
+  }
+  // run-length counts over the sorted keys, written back via the index
+  for (size_t s = 0; s < n;) {
+    uint64_t key = cur[s] >> RADIX_IDX_BITS;
+    size_t e = s + 1;
+    while (e < n && (cur[e] >> RADIX_IDX_BITS) == key) e++;
+    uint8_t c8 = encode_count(e - s);
+    for (size_t j = s; j < e; j++)
+      out[cur[j] & ((1u << RADIX_IDX_BITS) - 1)] = c8;
+    s = e;
+  }
+}
+
 void fwn_batch_counts(const int32_t* ids, const int8_t* mark,
                       const float* vals, int64_t K,
                       int32_t shift, uint8_t* out) {
-  // scratch persists across calls (producer thread calls this per batch;
-  // fresh vectors measured ~7 MB of malloc + zero-fill + page-fault churn
-  // per 32k x 13 batch, a large share of the counts pass)
-  static thread_local std::vector<uint64_t> cur, nxt;
-  static thread_local std::vector<size_t> hist;
-  constexpr int IDX_BITS = 28;  // entry = key<<28 | flat index: B*W up
-  // to 2^28 entries (a 32-bit key + 28-bit index fit u64)
-  constexpr int B1 = 13;  // fixed low-digit width: 8K-bucket histogram
-  // (64 KB, L2-resident) built DURING the key-build pass below — an
-  // adaptive b1 would need `seen` first and cost one extra 8 B/entry read
+  std::vector<uint64_t>& cur = g_radix_cur;
+  std::vector<size_t>& hist = g_radix_hist;
   if (cur.capacity() < size_t(K)) cur.reserve(size_t(K));
   cur.clear();
-  hist.assign((size_t(1) << B1) + 1, 0);
+  hist.assign((size_t(1) << RADIX_B1) + 1, 0);
   uint32_t seen = 0;
   for (int64_t i = 0; i < K; i++) {
     // skip padding AND explicit zero-valued features (vals may be null
@@ -458,46 +506,10 @@ void fwn_batch_counts(const int32_t* ids, const int8_t* mark,
     }
     uint32_t key = uint32_t(ids[i]) >> shift;
     seen |= key;
-    hist[(key & ((1u << B1) - 1)) + 1]++;
-    cur.push_back((uint64_t(key) << IDX_BITS) | uint64_t(i));
+    hist[(key & ((1u << RADIX_B1) - 1)) + 1]++;
+    cur.push_back((uint64_t(key) << RADIX_IDX_BITS) | uint64_t(i));
   }
-  size_t n = cur.size();
-  if (nxt.size() < n) nxt.resize(n);
-  int key_bits = 32;
-  while (key_bits > 1 && !(seen >> (key_bits - 1))) key_bits--;
-  if (seen == 0) key_bits = 1;
-  // pass 1: low B1 bits, histogram already built above
-  {
-    size_t buckets = size_t(1) << B1;
-    uint64_t mask = buckets - 1;
-    for (size_t b = 0; b < buckets; b++) hist[b + 1] += hist[b];
-    for (size_t i = 0; i < n; i++)
-      nxt[hist[(cur[i] >> IDX_BITS) & mask]++] = cur[i];
-    cur.swap(nxt);
-  }
-  // pass 2: remaining high bits (hash ids are < 2^25 on typical configs,
-  // so this is ~12 bits; none needed for keys that fit B1)
-  if (key_bits > B1) {
-    int width = key_bits - B1;
-    size_t buckets = size_t(1) << width;
-    uint64_t mask = buckets - 1;
-    hist.assign(buckets + 1, 0);
-    for (size_t i = 0; i < n; i++)
-      hist[((cur[i] >> (IDX_BITS + B1)) & mask) + 1]++;
-    for (size_t b = 0; b < buckets; b++) hist[b + 1] += hist[b];
-    for (size_t i = 0; i < n; i++)
-      nxt[hist[(cur[i] >> (IDX_BITS + B1)) & mask]++] = cur[i];
-    cur.swap(nxt);
-  }
-  // run-length counts over the sorted keys, written back via the index
-  for (size_t s = 0; s < n;) {
-    uint64_t key = cur[s] >> IDX_BITS;
-    size_t e = s + 1;
-    while (e < n && (cur[e] >> IDX_BITS) == key) e++;
-    uint8_t c8 = encode_count(e - s);
-    for (size_t j = s; j < e; j++) out[cur[j] & ((1u << IDX_BITS) - 1)] = c8;
-    s = e;
-  }
+  radix_emit_codes(seen, out);
 }
 
 // bit-pack a [B, W] non-negative i32 id column to `bits` per entry
@@ -735,6 +747,210 @@ void fwn_counts_table(const int32_t* idx, const uint8_t* codes,
     for (int32_t j = 0; j < W; j++)
       if (bases[j] >= 0) tab[bases[j] + irow[j]] = crow[j];
   }
+}
+
+// Fused steady-state batch emit: translated SoA shards → the final wire
+// arrays of one packed full batch, in ONE sweep (plus the global
+// multiplicity radix pass). Replaces, for the overwhelmingly common
+// fixed-width/full-batch case, the chain fill_range → numpy combo-pack →
+// fwn_batch_counts → fwn_vocab_encode2 → fwn_bitpack_mixed →
+// fwn_counts_table → numpy packbits — each of which materializes (and
+// re-reads) a [B, W]-sized intermediate. The outputs are byte-identical
+// to that chain's (asserted in tests/test_fused_emit.py); anything
+// irregular BAILS (returns 0) and the caller falls back to the general
+// path, which re-encodes the same batch idempotently (lookup_or_add
+// re-finds entries this sweep already minted; `dirty` is set on any mint
+// so the next snapshot still ships).
+//
+// Bail conditions: an example without exactly `W_all` LR entries, a
+// non-uniform combo row, a label outside {0,1}, any dictionary mint or
+// overflow (the layout's widths/tab bases are computed by the caller
+// from PRE-batch dictionary sizes; growth could change them), an index
+// overflowing its wire width, or a row-uniform count matrix (the
+// general path ships that as a broadcast instead of a table).
+//
+// Layout contract with train/packed.py (see prepare_for_transfer):
+//   out_label  [B/32] u32   — 1-bit little-endian labels (bitpack_labels)
+//   out_direct [B, n_direct] u8 — per-entry codes of direct columns
+//   out_tab    [tab_len] u8 — dictionary columns' code table (table_counts)
+//   out_ids    [B, words] u32 — mixed-width bit-packed indices
+//   combo_row  [W_all] i32  — the uniform combo row INCLUDING the
+//                             stripped constant column's combo
+//   out_const_code — the constant column's (uniform) multiplicity code
+// tab_len < 0 disables the counts machinery (schemas without the
+// batch-mean cap ship only label + ids).
+int fwn_emit_fused(void* ctx_p, void* vocab_p, int64_t start, int64_t count,
+                   int32_t W_all, uint32_t const_id,
+                   const int32_t* widths, const int32_t* tab_bases,
+                   int32_t words, int64_t tab_len, int32_t n_direct,
+                   uint32_t* out_ids, uint8_t* out_tab, uint8_t* out_direct,
+                   uint32_t* out_label, int32_t* combo_row,
+                   int32_t* out_const_code) {
+  auto* ctx = static_cast<Ctx*>(ctx_p);
+  auto* v = static_cast<Vocab*>(vocab_p);
+  const int32_t W = W_all - 1;  // wire columns (constant column stripped)
+  if (W < 1 || size_t(W) > v->cols.size() || count <= 0 || (count & 31))
+    return 0;
+  const bool with_counts = tab_len >= 0;
+  if (count * W_all >= (int64_t(1) << RADIX_IDX_BITS)) return 0;
+
+  // resolve the example range to (shard, local index) spans and verify
+  // the fixed width W_all — variable-width examples use the general path
+  struct Span {
+    const Shard* sh;
+    int64_t lo, hi;
+  };
+  Span spans[64];
+  int n_spans = 0;
+  {
+    int64_t base = 0;
+    const int64_t end = start + count;
+    for (const auto& sh : ctx->shards) {
+      int64_t m = int64_t(sh.label.size());
+      int64_t lo = std::max(start - base, int64_t(0));
+      int64_t hi = std::min(end - base, m);
+      if (lo < hi) {
+        if (n_spans == 64) return 0;
+        spans[n_spans++] = Span{&sh, lo, hi};
+      }
+      base += m;
+      if (base >= end) break;
+    }
+    if (base < end && n_spans == 0) return 0;
+  }
+  int64_t total = 0;
+  for (int s = 0; s < n_spans; s++) {
+    const Shard& sh = *spans[s].sh;
+    for (int64_t i = spans[s].lo; i < spans[s].hi; i++)
+      if (sh.lr_start[i + 1] - sh.lr_start[i] != W_all) return 0;
+    total += spans[s].hi - spans[s].lo;
+  }
+  if (total != count) return 0;
+
+  // pass A: global multiplicity codes over the range (key = raw id; the
+  // SoA ids already carry lr_mask from translate_record). codes[b*W_all+j]
+  static thread_local std::vector<uint8_t> codes;
+  if (with_counts) {
+    std::vector<uint64_t>& cur = g_radix_cur;
+    std::vector<size_t>& hist = g_radix_hist;
+    if (cur.capacity() < size_t(count * W_all))
+      cur.reserve(size_t(count * W_all));
+    cur.clear();
+    hist.assign((size_t(1) << RADIX_B1) + 1, 0);
+    if (codes.size() < size_t(count * W_all)) codes.resize(count * W_all);
+    uint32_t seen = 0;
+    int64_t flat = 0;
+    for (int s = 0; s < n_spans; s++) {
+      const Shard& sh = *spans[s].sh;
+      const uint32_t* ids = sh.lr_ids.data();
+      for (int64_t i = spans[s].lo; i < spans[s].hi; i++) {
+        const uint32_t* row = ids + sh.lr_start[i];
+        for (int32_t j = 0; j < W_all; j++, flat++) {
+          uint32_t key = row[j];
+          seen |= key;
+          hist[(key & ((1u << RADIX_B1) - 1)) + 1]++;
+          cur.push_back((uint64_t(key) << RADIX_IDX_BITS) | uint64_t(flat));
+        }
+      }
+    }
+    radix_emit_codes(seen, codes.data());
+  }
+
+  // pass B: the emit sweep — vocab lookup, mixed-width bit-write, count
+  // scatter, label bits, combo/constant verification
+  std::vector<VocabCol*> cols(static_cast<size_t>(W));
+  size_t before[64];
+  if (W > 64) return 0;
+  for (int32_t j = 0; j < W; j++) {
+    cols[size_t(j)] = &v->cols[size_t(j)];
+    before[j] = cols[size_t(j)]->order.size();
+    // caller derived the layout from PRE-batch state: a direct column must
+    // map to tab base -1 and vice versa
+    if (with_counts && (tab_bases[j] < 0) != cols[size_t(j)]->direct)
+      return 0;
+  }
+  auto bail = [&]() {
+    for (int32_t j = 0; j < W; j++)
+      if (!cols[size_t(j)]->direct &&
+          cols[size_t(j)]->order.size() != before[j])
+        v->dirty = true;
+    return 0;
+  };
+  std::memset(out_label, 0, size_t(count / 32) * 4);
+  if (with_counts && tab_len > 0) std::memset(out_tab, 0, size_t(tab_len));
+  bool codes_uniform = with_counts;  // vs row 0, wire columns only
+  int64_t b = 0;
+  auto prefetch_row = [&](const uint32_t* row) {
+    for (int32_t j = 0; j < W; j++) {
+      const VocabCol& col = *cols[size_t(j)];
+      if (!col.direct && !col.tab.empty())
+        __builtin_prefetch(col.tab.data() + col.slot(row[j]), 0, 1);
+    }
+  };
+  for (int s = 0; s < n_spans; s++) {
+    const Shard& sh = *spans[s].sh;
+    for (int64_t i = spans[s].lo; i < spans[s].hi; i++, b++) {
+      float l = sh.label[i];
+      if (l != 0.0f && l != 1.0f) return bail();
+      if (l == 1.0f) out_label[b >> 5] |= 1u << (b & 31);
+      const int32_t a0 = sh.lr_start[i];
+      const uint32_t* row = sh.lr_ids.data() + a0;
+      const int32_t* crow = sh.lr_combos.data() + a0;
+      if (b == 0) {
+        for (int32_t j = 0; j < W_all; j++) combo_row[j] = crow[j];
+      } else {
+        for (int32_t j = 0; j < W_all; j++)
+          if (crow[j] != combo_row[j]) return bail();
+      }
+      if (i + 1 < spans[s].hi)
+        prefetch_row(sh.lr_ids.data() + sh.lr_start[i + 1]);
+      if (row[W] != const_id) return bail();
+      uint32_t* dst = out_ids + b * words;
+      uint64_t accum = 0;
+      int nbits = 0, w = 0;
+      int32_t d = 0;
+      const uint8_t* code_row =
+          with_counts ? codes.data() + b * W_all : nullptr;
+      for (int32_t j = 0; j < W; j++) {
+        uint32_t id = row[j];
+        VocabCol& col = *cols[size_t(j)];
+        uint32_t idx;
+        if (col.direct) {
+          idx = id;
+          if (with_counts) out_direct[b * n_direct + d++] = code_row[j];
+        } else {
+          size_t pre = col.order.size();
+          int32_t r = col.lookup_or_add(id, v->max_cap);
+          if (r < 0 || col.order.size() != pre) return bail();  // mint/overflow:
+          // the layout was derived from pre-batch sizes
+          idx = uint32_t(r);
+          if (with_counts) out_tab[tab_bases[j] + r] = code_row[j];
+        }
+        if (idx >> widths[j]) return bail();
+        accum |= uint64_t(idx) << nbits;
+        nbits += widths[j];
+        if (nbits >= 32) {
+          dst[w++] = uint32_t(accum);
+          accum >>= 32;
+          nbits -= 32;
+        }
+        if (with_counts && codes_uniform && code_row[j] != codes[j])
+          codes_uniform = false;
+      }
+      if (nbits > 0) dst[w] = uint32_t(accum);
+    }
+  }
+  if (codes_uniform) return bail();  // the general path ships row-uniform
+  // counts as a zero-byte broadcast — a table would be strictly worse
+  if (with_counts) *out_const_code = int32_t(codes[W]);
+  return 1;
+}
+
+// whether column j has overflowed to direct (raw ids on the wire)
+int fwn_vocab_col_direct(void* p, int32_t col) {
+  auto* v = static_cast<Vocab*>(p);
+  if (size_t(col) >= v->cols.size()) return -1;
+  return v->cols[size_t(col)].direct ? 1 : 0;
 }
 
 // write column j's dictionary (index order, first `cap` entries) into

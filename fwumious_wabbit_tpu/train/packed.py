@@ -567,6 +567,126 @@ def prepare_for_transfer(bd: dict, mi, bitpack: bool = True,
             bit_cols)
 
 
+class PreparedBatch:
+    """A full batch already in wire form (the fused C emit path): ``slim``
+    is the transfer dict and ``lay`` its :class:`PackedLayout` — the
+    producer appends it to the current group directly, skipping
+    :func:`prepare_for_transfer`."""
+
+    __slots__ = ("slim", "lay")
+
+    def __init__(self, slim: dict, lay: PackedLayout):
+        self.slim = slim
+        self.lay = lay
+
+
+def try_fused_emit(ni, start: int, B: int, W_all: int, mi,
+                   state: VocabTransferState, with_counts: bool):
+    """Steady-state fused emit of one FULL batch: translated SoA →
+    final wire arrays in one native sweep (fwn_emit_fused), byte-identical
+    to the prepare_for_transfer chain (asserted in tests/test_fused_emit).
+
+    The layout (per-column wire widths, vocab snapshot regions, count-tab
+    bases) is derived here from the PRE-batch dictionary state; the native
+    sweep bails on anything that could change it (a mint, an overflow, a
+    variable-width example, a non-uniform combo row, labels outside {0,1},
+    row-uniform counts), in which case this returns None and the caller
+    falls back to the general path — which re-encodes idempotently.
+
+    Caller contract (checked by the producer's hook, not here): full
+    batch, LR-only schema, lr values and importances proven all-ones,
+    count key = raw id (shift 0). Returns (slim, layout) or None."""
+    if state is None or state.disabled:
+        return None
+    shift_bits = (mi.num_combos + 1).bit_length()
+    if mi.bit_precision + shift_bits > 31 or B % 32 or B <= 0:
+        return None
+    W = W_all - 1
+    if W < 1:
+        return None
+    venc = state.encoder_for(W)
+    if venc is None:
+        return None
+    widths = np.empty(W, np.int32)
+    bases = []
+    sizes = []
+    n_direct = 0
+    off = 0
+    for j in range(W):
+        if venc.col_direct(j):
+            widths[j] = mi.bit_precision
+            bases.append(-1)
+            sizes.append(-1)
+            n_direct += 1
+        else:
+            s = venc.col_size(j)
+            if s <= 0:
+                return None  # unseen column: the first batch must mint
+            widths[j] = _vocab_width(s)
+            bases.append(off)
+            off += 1 << int(widths[j])
+            sizes.append(s)
+    words = (int(widths.sum()) + 31) // 32
+    if words >= (W * mi.bit_precision + 31) // 32:
+        return None  # no whole-word saving: the general path latches off
+    n_rows = (off + 127) // 128
+    tab_bases = None
+    tab_len = -1
+    if with_counts:
+        tab_bases = np.empty(W, np.int32)
+        toff = 0
+        for j in range(W):
+            if bases[j] < 0:
+                tab_bases[j] = -1
+            else:
+                tab_bases[j] = toff
+                toff += min(1 << int(widths[j]),
+                            -(-max(sizes[j], 1) // _TAB_GRAIN) * _TAB_GRAIN)
+        toff = -(-toff // 128) * 128
+        if toff + B * n_direct >= B * W:
+            return None  # per-entry codes are smaller (table_counts)
+        tab_len = toff
+    out_ids = np.empty((B, words), np.uint32)
+    out_label = np.empty(B // 32, np.uint32)
+    out_tab = np.empty(tab_len, np.uint8) if with_counts else None
+    out_direct = np.empty((B, n_direct), np.uint8) if with_counts else None
+    combo_row = np.empty(W_all, np.int32)
+    const_code = np.zeros(1, np.int32)
+    const_id = CONSTANT_HASH & mi.lr_hash_mask
+    if not ni.emit_fused(venc, start, B, W_all, const_id, widths, tab_bases,
+                         words, tab_len, n_direct, out_ids.reshape(-1),
+                         out_tab,
+                         None if out_direct is None
+                         else out_direct.reshape(-1),
+                         out_label, combo_row, const_code):
+        return None
+    # zero-byte FFM placeholders: fill_range always materializes them for
+    # LR-only schemas and slim keeps them, so they are part of the general
+    # path's layout signature — the fused layout must match it exactly or
+    # fused and general batches would split superbatch groups
+    slim = {"label": out_label, "lr_ids": out_ids,
+            "ffm_fields": np.empty((B, 0), np.int8),
+            "ffm_ids": np.empty((B, 0), np.int32),
+            "ffm_vals": np.empty((B, 0), np.float32)}
+    appends = [("lr_ids", const_id)]
+    if with_counts:
+        slim["lr_counts"] = out_direct
+        slim["lr_counts_tab"] = out_tab
+        appends.append(("lr_counts", int(const_code[0])))
+    row_broadcasts = (("lr_combos", np.dtype(np.int32).str,
+                       tuple(int(x) for x in combo_row), B),)
+    vocabs = (("lr_ids", tuple(int(x) for x in widths), tuple(bases),
+               n_rows),)
+    count_tabs = ((("lr_counts", "lr_ids",
+                    tuple(int(x) for x in tab_bases)),)
+                  if with_counts else ())
+    lay = layout_of(slim, tuple(appends), (), row_broadcasts, vocabs,
+                    count_tabs, (("label", B),))
+    if lay is None:
+        return None
+    return PreparedBatch(slim, lay)
+
+
 def pack(layout: PackedLayout, bds: list) -> np.ndarray:
     """K batch dicts → [K, words] u32 (one flat memcpy per array)."""
     buf = np.empty((len(bds), layout.words), np.uint32)

@@ -38,7 +38,8 @@ log = get_logger(__name__)
 
 def native_batch_stream(args, mi, vw, batch_size: int,
                         cut_at: int | None = None,
-                        count_keys: dict | None = None):
+                        count_keys: dict | None = None,
+                        fused_hook=None):
     """Yield (batch_dict, n_examples) using the C++ ingest engine
     (fwumious_wabbit_tpu/native): text or cache records are translated in
     parallel and scattered straight into padded arrays. Behaviourally
@@ -125,6 +126,17 @@ def native_batch_stream(args, mi, vw, batch_size: int,
             return batch_size
         return min(batch_size, cut_at - emitted)
 
+    def emit_range(s: int, cap: int, L: int, N: int):
+        """One batch from the translated block: the fused single-sweep
+        wire emit (packed.try_fused_emit via the producer's hook) when it
+        applies, else the general fill+slim path. The hook returns a
+        PreparedBatch (already in wire form) or None."""
+        if fused_hook is not None and cap == batch_size:
+            res = fused_hook(ni, s, cap, L, N, emitted)
+            if res is not None:
+                return res
+        return slim(ni.fill_range(s, cap, batch_size, L, N), cap)
+
     if use_cache and Path(cpath).exists():
         try:
             reader = fwcache.RecordCacheReader(cpath, vw)
@@ -153,7 +165,7 @@ def native_batch_stream(args, mi, vw, batch_size: int,
                 s = 0
                 while s < n:
                     cap = min(block_cap(), n - s)
-                    yield slim(ni.fill_range(s, cap, batch_size, L, N), cap), cap
+                    yield emit_range(s, cap, L, N), cap
                     emitted += cap
                     s += cap
             return
@@ -201,7 +213,7 @@ def native_batch_stream(args, mi, vw, batch_size: int,
             s = 0
             while s < n:
                 cap = min(block_cap(), n - s)
-                yield slim(ni.fill_range(s, cap, batch_size, L, N), cap), cap
+                yield emit_range(s, cap, L, N), cap
                 emitted += cap
                 s += cap
     except BaseException:
@@ -468,22 +480,63 @@ class SuperbatchProducer:
                 group, glay, group_n = [], None, 0
                 sub["pack"] += time.thread_time() - _c0
 
-            stream = native_batch_stream(args, mi, vw, batch_size,
-                                         self.cut_at, self.count_keys)
+            # fused single-sweep emit (packed.try_fused_emit): the steady
+            # state of a packed LR run goes SoA → wire arrays in one native
+            # sweep, skipping fill_range, the numpy combo pack and the
+            # whole prepare_for_transfer chain. The hook declines whenever
+            # the general path's data-dependent checks might differ (FFM
+            # columns, holdout region, pending flip probe, non-all-ones
+            # values/importances); try_fused_emit itself bails to None on
+            # anything layout-affecting. Hook time lands in the 'ingest'
+            # sub-stage counter (it runs inside the stream generator).
+            fused_enabled = (
+                self.can_pack and self.bitpack_on
+                and vocab_state is not None
+                and getattr(mi, "ffm_k", 0) == 0
+                and os.environ.get("FWT_FUSED", "on") != "off"
+                and (self.count_keys is None
+                     or (set(self.count_keys) == {"lr"}
+                         and self.count_keys["lr"] == 0)))
+
+            def _fused_hook(ni, s, cap, L, N, emitted_before):
+                if N:
+                    return None
+                if self.holdout_after is not None \
+                        and emitted_before >= self.cut_at:
+                    return None
+                if vocab_state.disabled:
+                    return None
+                if (self.vocab_adaptive and vstat["probe"] is None
+                        and vstat["groups"] >= 1):
+                    # let one batch take the general path so the flip
+                    # policy gets its cost/payload probe
+                    return None
+                flags = ni.all_ones_flags()
+                if flags & 5 != 5:  # lr values + importances all-ones
+                    return None
+                return packed_mod.try_fused_emit(
+                    ni, s, cap, L, mi, vocab_state,
+                    with_counts=self.count_keys is not None)
+
+            stream = native_batch_stream(
+                args, mi, vw, batch_size, self.cut_at, self.count_keys,
+                fused_hook=_fused_hook if fused_enabled else None)
             _c_mark = time.thread_time()
             for bd, n in stream:
                 _c_now = time.thread_time()
                 sub["ingest"] += _c_now - _c_mark
                 lay = None
                 slim = bd
+                if isinstance(bd, packed_mod.PreparedBatch):
+                    slim, lay = bd.slim, bd.lay
                 # partial (padded) batches pack too, as their own solo
                 # group: the arrays are already [batch_size, W] with
                 # inert padding rows, so one packed buffer beats the
                 # per-array device_put path (the 1M bench's 17k-row
                 # tail measured ~5% of the wall clock on that path)
-                if (self.can_pack
-                        and (self.holdout_after is None
-                             or seen < self.cut_at)):
+                elif (self.can_pack
+                      and (self.holdout_after is None
+                           or seen < self.cut_at)):
                     # constant-feature column elision + id bit-packing
                     # + vocab indexing: pure transfer savings, undone
                     # device-side (packed.py unpack_row)
