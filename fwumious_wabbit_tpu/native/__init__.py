@@ -100,6 +100,8 @@ def _configure(lib):
                                      ctypes.c_int32, P(ctypes.c_uint8)]
     lib.fwn_count_byte.restype = i64
     lib.fwn_count_byte.argtypes = [ctypes.c_char_p, i64, ctypes.c_int]
+    lib.fwn_cpu_probe.restype = ctypes.c_uint64
+    lib.fwn_cpu_probe.argtypes = [i64]
     lib.fwn_murmur3.restype = u32
     lib.fwn_murmur3.argtypes = [ctypes.c_char_p, i64, u32]
     lib.fwn_format_preds.restype = i64

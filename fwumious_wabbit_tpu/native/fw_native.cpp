@@ -1000,6 +1000,23 @@ int64_t fwn_count_byte(const char* buf, int64_t len, int b) {
   return c;
 }
 
+// Fixed integer workload for CPU-window calibration (bench.py): the wall
+// time of `iters` xorshift steps measures how much of a physical core this
+// vCPU is actually getting RIGHT NOW — on this shared host both wall AND
+// CLOCK_THREAD_CPUTIME swing ~4x for identical work (hypervisor steal /
+// frequency scaling), so in-run CPU counters are only comparable between
+// windows whose probe agrees. Returns the lattice value so the loop can't
+// be optimized away.
+uint64_t fwn_cpu_probe(int64_t iters) {
+  uint64_t x = 88172645463325252ull;
+  for (int64_t i = 0; i < iters; i++) {
+    x ^= x << 13;
+    x ^= x >> 7;
+    x ^= x << 17;
+  }
+  return x;
+}
+
 // standalone hashing (tests / tooling)
 uint32_t fwn_murmur3(const char* data, int64_t len, uint32_t seed) {
   return murmur3_32(reinterpret_cast<const uint8_t*>(data), size_t(len), seed);
