@@ -168,3 +168,127 @@ def test_streaming_train_serve_patch_flow(tmp_path):
         c.close()
     finally:
         srv.shutdown()
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _distributed_train(data: Path, flags: list, out_model: Path,
+                       extra: list, tmp_path: Path, tag: str) -> None:
+    """One two-process jax.distributed training run (4 virtual CPU devices
+    per process = 8 global); rank 0 writes ``out_model``."""
+    import os
+    import subprocess
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("FWT_BENCH_CHILD", None)
+    procs = []
+    for rank in range(2):
+        argv = flags + extra + [
+            "--data", str(data),
+            "-f", str(out_model if rank == 0
+                      else tmp_path / f"{tag}_r{rank}.fw"),
+            "--fwt_hosts", "2", "--fwt_host_id", str(rank),
+            "--fwt_coordinator", f"127.0.0.1:{port}",
+        ]
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "fwumious_wabbit_tpu", *argv],
+            env=env, cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    for rank, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, \
+            f"{tag} rank {rank} failed:\n{out.decode(errors='replace')[-4000:]}"
+
+
+def test_distributed_train_patch_hotswap_chain(tmp_path):
+    """BASELINE config 5 as ONE chained flow (VERDICT r4 missing #3):
+    two-process distributed train (v1) → continued distributed train (v2,
+    from the --save_resume checkpoint) → quantized inference exports →
+    weight_patcher diff v1→v2 → 'serving host' recreates v2 from v1+diff →
+    live hogwild_load hot swap → the served prediction equals direct-load
+    offline inference of the same quantized model.
+
+    Reference anchors: src/persistence.rs:176-186 (hot swap),
+    weight_patcher/src/main.rs:17-29 (diff/recreate); the distributed
+    front end is net-new capability per SURVEY §2.4."""
+    from fwumious_wabbit_tpu.serve import server as server_mod
+    from fwumious_wabbit_tpu.serve.server import Serving
+    from fwumious_wabbit_tpu.tools import weight_patcher
+
+    (tmp_path / "vw_namespace_map.csv").write_text("A,a\nB,b\nC,c\nD,d\n")
+    train1, train2 = tmp_path / "t1.vw", tmp_path / "t2.vw"
+    gen_ctr_stream(train1, 1024, seed=31)
+    gen_ctr_stream(train2, 1024, seed=32)
+    flags = [
+        "--keep", "A", "--keep", "B", "--interactions", "AB",
+        "-l", "0.1", "-b", "18", "--adaptive", "--sgd",
+        "--loss_function", "logistic", "--link", "logistic",
+        "--power_t", "0.5", "--hash", "all",
+        "--fwt_platform", "cpu", "--fwt_batch_size", "64",
+        "--fwt_data_axis", "4", "--fwt_table_axis", "2",
+        "--fwt_exchange", "a2a", "--save_resume",
+    ]
+    v1, v2 = tmp_path / "v1.fwt", tmp_path / "v2.fwt"
+    _distributed_train(train1, flags, v1, [], tmp_path, "v1")
+    assert v1.exists()
+    _distributed_train(train2, flags, v2, ["-i", str(v1)], tmp_path, "v2")
+    assert v2.exists()
+
+    # quantized inference exports of both checkpoints (single-process)
+    v1q, v2q = tmp_path / "v1q.fwt", tmp_path / "v2q.fwt"
+    assert cli_main(flags + ["-i", str(v1),
+                             "--convert_inference_regressor", str(v1q),
+                             "--weight_quantization"]) == 0
+    assert cli_main(flags + ["-i", str(v2),
+                             "--convert_inference_regressor", str(v2q),
+                             "--weight_quantization"]) == 0
+
+    # ship v1q→v2q as a byte diff; the serving host reconstructs v2q
+    diff = tmp_path / "update.patch"
+    weight_patcher.create_diff(str(v1q), str(v2q), str(diff))
+    v2q_re = tmp_path / "v2q_re.fwt"
+    weight_patcher.recreate(str(v1q), str(diff), str(v2q_re))
+    assert v2q_re.read_bytes() == v2q.read_bytes()
+
+    # serve v1q, hot-swap to the patched v2q on a live connection
+    args = build_parser().parse_args(flags + ["--data", "x"])
+    mi, vw, model, params = model_file.load_model(v1q, immutable=True,
+                                                  args=args)
+    srv = Serving(args, mi, vw, model, params, model_path=str(v1q))
+    s = server_mod._PooledTCPServer(("127.0.0.1", 0), server_mod._Handler, 4)
+    s.fwt_serving = srv
+    srv._server = s
+    threading.Thread(target=s.serve_forever, daemon=True).start()
+    port = s.server_address[1]
+    try:
+        c = Client(port)
+        probe = b"|A a1 |B b1\n"
+        before = float(c.send(probe))
+        out = c.send(f"hogwild_load {v2q_re}\n".encode())
+        assert out == b"hogwild_load success\n", out
+        after = float(c.send(probe))
+        assert before != after
+
+        # served post-swap prediction equals direct-load offline inference
+        pred_file = tmp_path / "probe.out"
+        probe_data = tmp_path / "probe.vw"
+        probe_data.write_bytes(probe)
+        assert cli_main(flags + ["-i", str(v2q), "-t", "--data",
+                                 str(probe_data), "-p", str(pred_file)]) == 0
+        offline = float(pred_file.read_text())
+        assert abs(after - offline) < 2e-5, (after, offline)
+        c.close()
+    finally:
+        srv.shutdown()
