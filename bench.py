@@ -54,6 +54,41 @@ def current_rss_mb() -> float:
     return -1.0
 
 
+def child_train(argv, timeout=900):
+    """Run one CLI train/predict in a FRESH subprocess and return its
+    in-loop result {'examples', 'elapsed', 'counters'} (loop.py main dumps
+    it via FWT_COUNTERS_OUT). Phase RSS isolation (VERDICT r4 #6): the
+    big optional phases (predict, 10M headline) no longer accumulate into
+    this process's VmHWM, so peak_rss_mb tracks the worst in-process
+    phase. The child's import/compile overhead stays OUTSIDE the in-loop
+    elapsed, and its first-compiles are served by the persistent compile
+    cache."""
+    import subprocess
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".json")
+    os.close(fd)
+    env = dict(os.environ)
+    env["FWT_COUNTERS_OUT"] = path
+    env.pop("FWT_BENCH_CHILD", None)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "fwumious_wabbit_tpu",
+             *[str(a) for a in argv]],
+            env=env, cwd=str(ROOT), capture_output=True, text=True,
+            timeout=timeout)
+        if r.returncode != 0:
+            raise RuntimeError(f"child train rc={r.returncode}: "
+                               f"{r.stderr[-500:]}")
+        with open(path) as f:
+            return json.load(f)
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
 CPU_PROBE_ITERS = 20_000_000  # ~20 ms of xorshift on an unshared core
 
 
@@ -267,7 +302,19 @@ def _rss_phase(store: dict, name: str) -> None:
     peak-RSS decomposition VERDICT r3 #6 asked for: which phase drives
     the high-water mark (reference train mode: 258 MB, BENCHMARK.md:18;
     this process runs ALL modes, so its own HWM conflates them —
-    train_only_rss_mb below is the apples-to-apples number)."""
+    train_only_rss_mb below is the apples-to-apples number). Each
+    boundary also collects garbage and returns freed glibc arenas to the
+    kernel (malloc_trim) so a finished phase's allocations stop inflating
+    the next phase's RSS reading (VERDICT r4 weak #3: RSS marched
+    monotonically 163 → 3498 MB across phases)."""
+    import ctypes
+    import gc
+
+    gc.collect()
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except OSError:
+        pass
     store.setdefault("rss_phases_mb", {})[name] = [current_rss_mb(),
                                                    peak_rss_mb()]
 
@@ -912,12 +959,14 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
 
             mpath = CACHE_DIR / "bench_model.fw"
             model_file.save_model(str(mpath), mi, vw, model, result["params"])
+            # fresh subprocess per run (RSS isolation — the in-process
+            # native predictor + its model copy used to accumulate ~800 MB
+            # into this process); the rate uses the child's IN-LOOP
+            # elapsed, not the wall clock around the subprocess
             pruns = []
             for _ in range(3):
-                t0 = time.perf_counter()
-                rc = cli_main(argv + ["-t", "-i", str(mpath)])
-                assert rc == 0
-                pruns.append(rows / (time.perf_counter() - t0))
+                pres = child_train(argv + ["-t", "-i", str(mpath)])
+                pruns.append(pres["examples"] / pres["elapsed"])
             extras["predict_ex_s"] = round(float(np.mean(pruns)))
             extras["predict_runs"] = [round(r) for r in pruns]
             _rss_phase(rssp, "predict")
@@ -1041,24 +1090,24 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
             and budget_left() > 220:
         try:
             data10 = ensure_dataset(10_000_000)
-            args10 = build_parser().parse_args(_base_argv(data10))
-            mi10 = ModelInstance.from_cmdline(args10, vw)
             dets10 = []
             # same stratification idea as the 1M runs: a single 10M run
             # in a stolen/degraded window is not "the 10M number" — retry
             # (budget permitting, up to 3 attempts) until one run lands
             # with a quiet CPU probe and a live link probe; every attempt
-            # is committed in headline_10m_runs
+            # is committed in headline_10m_runs. Each attempt is a FRESH
+            # subprocess (RSS isolation — this phase used to add ~1 GB to
+            # the bench process); the rate uses the child's in-loop
+            # elapsed, compiles served by the persistent cache.
             for _attempt in range(3):
-                model10 = FwModel(mi10, precision="default")
                 t_run = time.time()
-                r = run_train_loop(args10, mi10, vw, model10)
+                r = child_train(_base_argv(data10), timeout=600)
                 det = summarize_counters(r.get("counters", {}),
                                          r["examples"], t_run)
                 det["probe_link_mb_s"] = probe_link_mb_s()
                 det["cpu_probe_ms"] = cpu_probe_ms()
                 dets10.append(det)
-                del r, model10
+                del r
                 # quietness judged against the 1M runs' best probe (same
                 # process): a lone 10M det would otherwise be its own base
                 base1m = min((d.get("cpu_probe_ms") or 1e9)

@@ -632,6 +632,79 @@ struct Vocab {
   std::vector<VocabCol> cols;
   int32_t max_cap = 0;
   bool dirty = false;
+
+  // Cross-column id index (fused counts): id → the dictionary slot(s)
+  // holding it, maintained at mint time. The fused emit counts dictionary
+  // entries per (column, index) slot — a dense array — instead of
+  // radix-sorting every entry of the batch; this index is what keeps the
+  // GLOBAL count semantics exact (the multiplicity key is the raw id, so
+  // the same id minted into two columns, or colliding with a direct
+  // column's id, must aggregate across them — ~2.7k colliding entries
+  // per 32k×13 batch at b=25 by the birthday bound).
+  // Open addressing, u64 = id(32) << 32 | value(32); value is
+  // (col << 24 | idx) for a single-column id, or MULTI | pool index for
+  // ids minted in more than one column. Empty slot = all-ones key.
+  static constexpr uint32_t MULTI = 0x80000000u;
+  std::vector<uint64_t> idx_tab;
+  std::vector<std::vector<uint32_t>> idx_pool;
+  size_t idx_count = 0;
+
+  void idx_rehash(size_t cap) {
+    std::vector<uint64_t> nt(cap, ~0ull);
+    size_t mask = cap - 1;
+    for (uint64_t e : idx_tab) {
+      if (e == ~0ull) continue;
+      size_t h = (uint32_t(e >> 32) * 2654435761u) & mask;
+      while (nt[h] != ~0ull) h = (h + 1) & mask;
+      nt[h] = e;
+    }
+    idx_tab.swap(nt);
+  }
+
+  // value for id, or UINT32_MAX when the id was never minted
+  uint32_t idx_find(uint32_t id) const {
+    if (idx_tab.empty()) return UINT32_MAX;
+    size_t mask = idx_tab.size() - 1;
+    size_t h = (id * 2654435761u) & mask;
+    while (idx_tab[h] != ~0ull) {
+      if (uint32_t(idx_tab[h] >> 32) == id) return uint32_t(idx_tab[h]);
+      h = (h + 1) & mask;
+    }
+    return UINT32_MAX;
+  }
+
+  void idx_add(uint32_t id, int32_t col, int32_t idx) {
+    if (idx_tab.empty()) idx_rehash(1 << 12);
+    size_t mask = idx_tab.size() - 1;
+    size_t h = (id * 2654435761u) & mask;
+    uint32_t packed = (uint32_t(col) << 24) | uint32_t(idx);
+    while (idx_tab[h] != ~0ull) {
+      if (uint32_t(idx_tab[h] >> 32) == id) {
+        uint32_t v = uint32_t(idx_tab[h]);
+        if (v & MULTI) {
+          idx_pool[v & ~MULTI].push_back(packed);
+        } else {
+          idx_pool.push_back({v, packed});
+          idx_tab[h] = (uint64_t(id) << 32) |
+                       (MULTI | uint32_t(idx_pool.size() - 1));
+        }
+        return;
+      }
+      h = (h + 1) & mask;
+    }
+    idx_tab[h] = (uint64_t(id) << 32) | packed;
+    if (++idx_count * 2 > idx_tab.size()) idx_rehash(idx_tab.size() * 2);
+  }
+
+  // mint-aware lookup: like col.lookup_or_add but keeps the cross-column
+  // id index in sync (ALL mint sites must go through this)
+  int32_t lookup_or_add_indexed(int32_t j, uint32_t id) {
+    VocabCol& col = cols[size_t(j)];
+    size_t pre = col.order.size();
+    int32_t r = col.lookup_or_add(id, max_cap);
+    if (r >= 0 && col.order.size() != pre) idx_add(id, j, r);
+    return r;
+  }
 };
 
 }  // namespace
@@ -710,7 +783,7 @@ int fwn_vocab_encode2(void* p, const int32_t* raw, int64_t B, int32_t W,
         orow[j] = id;
         continue;
       }
-      int32_t r = col.lookup_or_add(uint32_t(id), v->max_cap);
+      int32_t r = v->lookup_or_add_indexed(j, uint32_t(id));
       if (r >= 0) {
         orow[j] = r;
         continue;
@@ -827,37 +900,21 @@ int fwn_emit_fused(void* ctx_p, void* vocab_p, int64_t start, int64_t count,
   }
   if (total != count) return 0;
 
-  // pass A: global multiplicity codes over the range (key = raw id; the
-  // SoA ids already carry lr_mask from translate_record). codes[b*W_all+j]
-  static thread_local std::vector<uint8_t> codes;
-  if (with_counts) {
-    std::vector<uint64_t>& cur = g_radix_cur;
-    std::vector<size_t>& hist = g_radix_hist;
-    if (cur.capacity() < size_t(count * W_all))
-      cur.reserve(size_t(count * W_all));
-    cur.clear();
-    hist.assign((size_t(1) << RADIX_B1) + 1, 0);
-    if (codes.size() < size_t(count * W_all)) codes.resize(count * W_all);
-    uint32_t seen = 0;
-    int64_t flat = 0;
-    for (int s = 0; s < n_spans; s++) {
-      const Shard& sh = *spans[s].sh;
-      const uint32_t* ids = sh.lr_ids.data();
-      for (int64_t i = spans[s].lo; i < spans[s].hi; i++) {
-        const uint32_t* row = ids + sh.lr_start[i];
-        for (int32_t j = 0; j < W_all; j++, flat++) {
-          uint32_t key = row[j];
-          seen |= key;
-          hist[(key & ((1u << RADIX_B1) - 1)) + 1]++;
-          cur.push_back((uint64_t(key) << RADIX_IDX_BITS) | uint64_t(flat));
-        }
-      }
-    }
-    radix_emit_codes(seen, codes.data());
-  }
-
-  // pass B: the emit sweep — vocab lookup, mixed-width bit-write, count
-  // scatter, label bits, combo/constant verification
+  // The emit sweep — vocab lookup, mixed-width bit-write, per-slot count
+  // accumulation, label bits, combo/constant verification.
+  //
+  // Counting strategy (replaces the former whole-batch radix sort, which
+  // at 459k entries/batch was the single largest non-parse producer cost):
+  // dictionary entries count into a dense per-(column, index) array —
+  // slot_counts IS tab-shaped — and only the direct columns' entries
+  // (one column, ~32k entries on the Eat-Rate schema) go through a radix.
+  // GLOBAL id semantics (the multiplicity key is the raw id, aggregated
+  // across columns) are restored exactly via the Vocab's cross-column id
+  // index: total(id) = Σ slot_counts over the still-dict slots holding id
+  //                  + (direct-column occurrences of id)
+  //                  + B·[id == constant id]
+  // — byte-identical to the general path's fwn_batch_counts (asserted in
+  // tests/test_fused_emit.py, including an engineered-collision config).
   std::vector<VocabCol*> cols(static_cast<size_t>(W));
   size_t before[64];
   if (W > 64) return 0;
@@ -877,8 +934,19 @@ int fwn_emit_fused(void* ctx_p, void* vocab_p, int64_t start, int64_t count,
     return 0;
   };
   std::memset(out_label, 0, size_t(count / 32) * 4);
-  if (with_counts && tab_len > 0) std::memset(out_tab, 0, size_t(tab_len));
-  bool codes_uniform = with_counts;  // vs row 0, wire columns only
+  static thread_local std::vector<uint32_t> slot_counts, ab_extra;
+  std::vector<uint64_t>& ab = g_radix_cur;
+  std::vector<size_t>& hist = g_radix_hist;
+  uint32_t ab_seen = 0;
+  if (with_counts) {
+    std::memset(out_tab, 0, size_t(tab_len));
+    slot_counts.assign(size_t(tab_len), 0);
+    ab_extra.assign(size_t(tab_len), 0);
+    if (ab.capacity() < size_t(count * n_direct))
+      ab.reserve(size_t(count * n_direct));
+    ab.clear();
+    hist.assign((size_t(1) << RADIX_B1) + 1, 0);
+  }
   int64_t b = 0;
   auto prefetch_row = [&](const uint32_t* row) {
     for (int32_t j = 0; j < W; j++) {
@@ -909,22 +977,27 @@ int fwn_emit_fused(void* ctx_p, void* vocab_p, int64_t start, int64_t count,
       uint64_t accum = 0;
       int nbits = 0, w = 0;
       int32_t d = 0;
-      const uint8_t* code_row =
-          with_counts ? codes.data() + b * W_all : nullptr;
       for (int32_t j = 0; j < W; j++) {
         uint32_t id = row[j];
         VocabCol& col = *cols[size_t(j)];
         uint32_t idx;
         if (col.direct) {
           idx = id;
-          if (with_counts) out_direct[b * n_direct + d++] = code_row[j];
+          if (with_counts) {
+            // direct entries radix by id; codes land in the post-pass
+            ab_seen |= id;
+            hist[(id & ((1u << RADIX_B1) - 1)) + 1]++;
+            ab.push_back((uint64_t(id) << RADIX_IDX_BITS) |
+                         uint64_t(b * n_direct + d));
+            d++;
+          }
         } else {
           size_t pre = col.order.size();
-          int32_t r = col.lookup_or_add(id, v->max_cap);
-          if (r < 0 || col.order.size() != pre) return bail();  // mint/overflow:
-          // the layout was derived from pre-batch sizes
+          int32_t r = v->lookup_or_add_indexed(j, id);
+          if (r < 0 || col.order.size() != pre) return bail();  // mint or
+          // overflow: the layout was derived from pre-batch sizes
           idx = uint32_t(r);
-          if (with_counts) out_tab[tab_bases[j] + r] = code_row[j];
+          if (with_counts) slot_counts[tab_bases[j] + r]++;
         }
         if (idx >> widths[j]) return bail();
         accum |= uint64_t(idx) << nbits;
@@ -934,15 +1007,130 @@ int fwn_emit_fused(void* ctx_p, void* vocab_p, int64_t start, int64_t count,
           accum >>= 32;
           nbits -= 32;
         }
-        if (with_counts && codes_uniform && code_row[j] != codes[j])
-          codes_uniform = false;
       }
       if (nbits > 0) dst[w] = uint32_t(accum);
     }
   }
+  if (!with_counts) return 1;
+
+  // post-pass 1: direct-column codes by id run-length; each unique direct
+  // id folds in the dictionary slots holding the same id (cross-column
+  // collisions) and distributes its own count back to those slots
+  const size_t ab_n = ab.size();  // the swap below can leave ab with a
+  // LARGER backing vector whose tail is stale scratch
+  {
+    std::vector<uint64_t>& cur = ab;
+    std::vector<uint64_t>& nxt = g_radix_nxt;
+    size_t n = ab_n;
+    if (nxt.size() < n) nxt.resize(n);
+    int key_bits = 32;
+    while (key_bits > 1 && !(ab_seen >> (key_bits - 1))) key_bits--;
+    if (ab_seen == 0) key_bits = 1;
+    {
+      size_t buckets = size_t(1) << RADIX_B1;
+      uint64_t kmask = buckets - 1;
+      for (size_t q = 0; q < buckets; q++) hist[q + 1] += hist[q];
+      for (size_t q = 0; q < n; q++)
+        nxt[hist[(cur[q] >> RADIX_IDX_BITS) & kmask]++] = cur[q];
+      cur.swap(nxt);
+    }
+    if (key_bits > RADIX_B1) {
+      int width = key_bits - RADIX_B1;
+      size_t buckets = size_t(1) << width;
+      uint64_t kmask = buckets - 1;
+      hist.assign(buckets + 1, 0);
+      for (size_t q = 0; q < n; q++)
+        hist[((cur[q] >> (RADIX_IDX_BITS + RADIX_B1)) & kmask) + 1]++;
+      for (size_t q = 0; q < buckets; q++) hist[q + 1] += hist[q];
+      for (size_t q = 0; q < n; q++)
+        nxt[hist[(cur[q] >> (RADIX_IDX_BITS + RADIX_B1)) & kmask]++] = cur[q];
+      cur.swap(nxt);
+    }
+  }
+  uint64_t ab_const = 0;
+  auto dict_slots_sum = [&](uint32_t id, uint64_t ab_count,
+                            bool distribute) -> uint64_t {
+    // Σ slot_counts over the still-dict slots holding `id`; optionally
+    // write the direct-column count back to those slots for the tab pass
+    uint32_t val = v->idx_find(id);
+    if (val == UINT32_MAX) return 0;
+    uint64_t sum = 0;
+    auto one = [&](uint32_t packed) {
+      int32_t cj = int32_t(packed >> 24);
+      int32_t ci = int32_t(packed & 0xffffffu);
+      if (cj >= W || tab_bases[cj] < 0) return;  // column went direct (its
+      // occurrences are in the radix) or lies past this layout's width
+      int64_t slot = tab_bases[cj] + ci;
+      sum += slot_counts[slot];
+      if (distribute) ab_extra[slot] = uint32_t(ab_count);
+    };
+    if (val & Vocab::MULTI) {
+      for (uint32_t packed : v->idx_pool[val & ~Vocab::MULTI]) one(packed);
+    } else {
+      one(val);
+    }
+    return sum;
+  };
+  for (size_t s0 = 0, n = ab_n; s0 < n;) {
+    uint32_t id = uint32_t(ab[s0] >> RADIX_IDX_BITS);
+    size_t e = s0 + 1;
+    while (e < n && uint32_t(ab[e] >> RADIX_IDX_BITS) == id) e++;
+    uint64_t c = e - s0;
+    if (id == const_id) ab_const = c;
+    uint64_t total = c + dict_slots_sum(id, c, true) +
+                     (id == const_id ? uint64_t(count) : 0);
+    uint8_t c8 = encode_count(total);
+    for (size_t q = s0; q < e; q++)
+      out_direct[ab[q] & ((1u << RADIX_IDX_BITS) - 1)] = c8;
+    s0 = e;
+  }
+  *out_const_code = int32_t(encode_count(
+      uint64_t(count) + ab_const + dict_slots_sum(const_id, 0, false)));
+
+  // post-pass 2: the dictionary-column code table + the row-uniformity
+  // check (all wire columns constant ⟺ every row's code vector equal —
+  // the general path ships that as a zero-byte broadcast instead)
+  bool codes_uniform = true;
+  for (int32_t j = 0; j < W; j++) {
+    if (tab_bases[j] < 0) continue;
+    const VocabCol& col = *cols[size_t(j)];
+    int first_code = -1;
+    for (size_t idx = 0, m = col.order.size(); idx < m; idx++) {
+      int64_t slot = tab_bases[j] + int64_t(idx);
+      uint32_t c0 = slot_counts[slot];
+      if (c0 == 0) continue;  // untouched slot: stays 0, never read
+      uint32_t id = uint32_t(col.order[idx]);
+      uint64_t total = c0 + uint64_t(ab_extra[slot]) +
+                       (id == const_id ? uint64_t(count) : 0);
+      uint32_t val = v->idx_find(id);
+      if (val != UINT32_MAX && (val & Vocab::MULTI)) {
+        // id minted in several columns: global count sums their slots
+        total = uint64_t(ab_extra[slot]) +
+                (id == const_id ? uint64_t(count) : 0);
+        for (uint32_t packed : v->idx_pool[val & ~Vocab::MULTI]) {
+          int32_t cj = int32_t(packed >> 24);
+          if (cj < W && tab_bases[cj] >= 0)
+            total += slot_counts[tab_bases[cj] + int32_t(packed & 0xffffffu)];
+        }
+      }
+      uint8_t c8 = encode_count(total);
+      out_tab[slot] = c8;
+      if (first_code < 0) first_code = c8;
+      else if (first_code != c8) codes_uniform = false;
+    }
+  }
+  if (codes_uniform && n_direct > 0) {
+    for (int32_t d = 0; d < n_direct && codes_uniform; d++) {
+      uint8_t c0 = out_direct[d];
+      for (int64_t q = 1; q < count; q++)
+        if (out_direct[q * n_direct + d] != c0) {
+          codes_uniform = false;
+          break;
+        }
+    }
+  }
   if (codes_uniform) return bail();  // the general path ships row-uniform
   // counts as a zero-byte broadcast — a table would be strictly worse
-  if (with_counts) *out_const_code = int32_t(codes[W]);
   return 1;
 }
 

@@ -804,6 +804,7 @@ def main(argv=None) -> int:
         from .. import native as fw_native
 
         if fw_native.load() is not None:
+            _t_load = time.perf_counter()
             try:
                 pred = fw_native.EmbeddedPredictor(
                     f"-i {args.initial_regressor}")
@@ -811,8 +812,20 @@ def main(argv=None) -> int:
                 log.warning("native predict engine unavailable (%s); "
                             "using the device path", e)
             else:
+                _t_load = time.perf_counter() - _t_load
                 try:
-                    run_native_predict(args, pred)
+                    _pres = run_native_predict(args, pred)
+                    _cpath = os.environ.get("FWT_COUNTERS_OUT")
+                    if _cpath:
+                        import json
+
+                        # elapsed INCLUDES the model load, matching what
+                        # an in-process `-t -i` wall clock measured (the
+                        # reference's predict number also pays its load)
+                        with open(_cpath, "w") as f:
+                            json.dump({"examples": _pres["examples"],
+                                       "elapsed": _pres["elapsed"] + _t_load,
+                                       "counters": {}}, f)
                     return 0
                 except (FlushCommand, HogwildLoadCommand) as e:
                     log.error("Global error: %s", e)
@@ -868,4 +881,21 @@ def main(argv=None) -> int:
             args.final_regressor, mi, vw, model, result["params"],
             quantize_weights=bool(args.weight_quantization),
         )
+
+    # FWT_COUNTERS_OUT=<path>: dump the run's in-loop result (examples,
+    # elapsed, counters) as JSON — lets bench.py run phases in FRESH
+    # subprocesses for RSS isolation while keeping the in-run counter
+    # summary (the child's import/compile overhead stays outside the
+    # in-loop elapsed)
+    cpath = os.environ.get("FWT_COUNTERS_OUT")
+    if cpath:
+        import json
+
+        try:
+            with open(cpath, "w") as f:
+                json.dump({"examples": result["examples"],
+                           "elapsed": result["elapsed"],
+                           "counters": result.get("counters", {})}, f)
+        except OSError as e:
+            log.warning("FWT_COUNTERS_OUT write failed: %s", e)
     return 0

@@ -58,12 +58,12 @@ def _fresh_ctr():
 
 
 def _run_producer(args, mi, vw, *, B, K, count_keys, monkeypatch, fused,
-                  cut_at=None, holdout_after=None):
+                  cut_at=None, holdout_after=None, max_cap=1 << 14):
     from fwumious_wabbit_tpu.train import packed as packed_mod
 
     monkeypatch.setenv("FWT_FUSED", "on" if fused else "off")
     sink = _ListSink()
-    vstate = packed_mod.VocabTransferState()
+    vstate = packed_mod.VocabTransferState(max_cap=max_cap)
     engaged = [0]
     if fused:
         real = packed_mod.try_fused_emit
@@ -192,4 +192,49 @@ class TestFusedEmitParity:
                                      count_keys={"lr": 0},
                                      monkeypatch=monkeypatch, fused=True)
         assert engaged == 0
+        _assert_streams_identical(ref, got)
+
+    def test_cross_column_collisions_and_direct_overflow(self, tmp_path,
+                                                         monkeypatch):
+        """Engineered cross-column id collisions + a dictionary column
+        overflowing to direct mid-stream: the fused path's per-slot
+        counting must aggregate multiplicities ACROSS columns (the count
+        key is the raw id) exactly like the general radix — including
+        direct-vs-dictionary collisions (ab_extra) and multi-column
+        dictionary ids (the Vocab id index)."""
+        _requires_native()
+        from fwumious_wabbit_tpu.config.cmdline import build_parser
+        from fwumious_wabbit_tpu.config.model_instance import ModelInstance
+        from fwumious_wabbit_tpu.config.vwmap import VwNamespaceMap
+
+        (tmp_path / "vw_namespace_map.csv").write_text(
+            "A,a\nB,b\nC,c\nD,d\nE,e\n")
+        rng = np.random.default_rng(5)
+        data = tmp_path / "train.vw"
+        with open(data, "w") as f:
+            for _ in range(30000):
+                label = 1 if rng.integers(0, 2) else -1
+                f.write(f"{label} |A a{rng.integers(0, 200)} "
+                        f"|B b{rng.integers(0, 120)} "
+                        f"|C c{rng.integers(0, 30)} "
+                        f"|D d{rng.integers(0, 30)} "
+                        f"|E e{rng.integers(0, 30)}\n")
+        # b=18: the AB interaction (~24k uniques) overflows a 512-entry
+        # dictionary cap to direct DURING batch 0, and its raw ids collide
+        # with the dictionary columns' ids in the 2^18 hash space
+        # (birthday: dozens of cross pairs per batch)
+        argv = ["--data", str(data), "-l", "0.1", "-b", "18", "--adaptive",
+                "--power_t", "0.0", "--interactions", "AB",
+                "--keep", "A", "--keep", "B", "--keep", "C",
+                "--keep", "D", "--keep", "E"]
+        args = build_parser().parse_args(argv)
+        vw = VwNamespaceMap.from_dataset_dir(args.data)
+        mi = ModelInstance.from_cmdline(args, vw)
+        ref, _ = _run_producer(args, mi, vw, B=2048, K=2,
+                               count_keys={"lr": 0}, max_cap=512,
+                               monkeypatch=monkeypatch, fused=False)
+        got, engaged = _run_producer(args, mi, vw, B=2048, K=2,
+                                     count_keys={"lr": 0}, max_cap=512,
+                                     monkeypatch=monkeypatch, fused=True)
+        assert engaged >= 1, "fused path never engaged — test is vacuous"
         _assert_streams_identical(ref, got)
