@@ -445,22 +445,29 @@ def host_only_probes(rows: int, args, mi, vw) -> dict:
 
     mpath = CACHE_DIR / "bench_model.fw"
     if mpath.exists():
-        pruns = []
-        # one untimed warm pass first: the model file (268 MB at b=25) and
-        # the dataset enter the page cache — the timed train runs get the
-        # same treatment (the reference's numbers are steady-state too)
-        assert cli_main([*_base_argv(ensure_dataset(rows)), "-t",
-                         "-i", str(mpath)]) == 0
-        for _ in range(3):
-            t0 = _t.perf_counter()
-            rc = cli_main([*_base_argv(ensure_dataset(rows)), "-t",
-                           "-i", str(mpath)])
-            assert rc == 0
-            pruns.append(rows / (_t.perf_counter() - t0))
-        out["predict_ex_s"] = round(float(np.mean(pruns)))
-        out["predict_runs"] = [round(r) for r in pruns]
-        print(f"# predict (-t -i native, host-only, 3-run mean): "
-              f"{np.mean(pruns):,.0f} ex/s (ref 592k)", file=sys.stderr)
+        try:
+            pruns = []
+            # one untimed warm pass first: the model file (268 MB at b=25)
+            # and the dataset enter the page cache — the timed train runs
+            # get the same treatment (reference numbers are steady-state)
+            assert cli_main([*_base_argv(ensure_dataset(rows)), "-t",
+                             "-i", str(mpath)]) == 0
+            for _ in range(3):
+                t0 = _t.perf_counter()
+                rc = cli_main([*_base_argv(ensure_dataset(rows)), "-t",
+                               "-i", str(mpath)])
+                assert rc == 0
+                pruns.append(rows / (_t.perf_counter() - t0))
+            out["predict_ex_s"] = round(float(np.mean(pruns)))
+            out["predict_runs"] = [round(r) for r in pruns]
+            print(f"# predict (-t -i native, host-only, 3-run mean): "
+                  f"{np.mean(pruns):,.0f} ex/s (ref 592k)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — e.g. a truncated model
+            # from a watchdog-killed previous bench; the train phase saves
+            # a fresh one for its own predict row
+            print(f"# host predict probe failed ({e}); removing stale "
+                  f"model", file=sys.stderr)
+            mpath.unlink(missing_ok=True)
 
     try:
         from fwumious_wabbit_tpu.persistence import quantization as q

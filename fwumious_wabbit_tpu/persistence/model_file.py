@@ -31,6 +31,7 @@ can resume exactly.
 from __future__ import annotations
 
 import io
+import os
 import struct
 from pathlib import Path
 
@@ -120,7 +121,13 @@ def save_model(
     quantize_weights: bool = False,
 ) -> None:
     params = _fetch_global(params)
-    with open(path, "wb") as fh:
+    # write to a sibling temp and rename on completion: a killed process
+    # must never leave a truncated model at the final path (same atomic
+    # discipline as the record cache, reference src/cache.rs:147-153;
+    # also what makes hogwild_load hot swaps safe against concurrent
+    # writers — the serving host only ever sees complete files)
+    tmp = str(path) + ".writing"
+    with open(tmp, "wb") as fh:
         fh.write(MAGIC)
         fh.write(struct.pack("<I", VERSION))
         _write_chunk(fh, vw.to_source_json().encode())
@@ -159,6 +166,7 @@ def save_model(
         fh.write(struct.pack("<Q", total))
         for b in blocks:
             fh.write(b)
+    os.replace(tmp, path)
 
 
 def load_model(

@@ -604,8 +604,14 @@ def try_fused_emit(ni, start: int, B: int, W_all: int, mi,
     W = W_all - 1
     if W < 1:
         return None
-    venc = state.encoder_for(W)
-    if venc is None:
+    # read-only peek at the encoder: encoder_for() owns the deferred
+    # grow/recreate protocol and must be called exactly ONCE per batch
+    # (by the general path) — a second call in the same batch would
+    # recreate the dictionaries while a pending group still needs the old
+    # ones for its snapshot export. A missing or too-narrow encoder means
+    # this batch belongs to the general path anyway.
+    venc = state.venc
+    if venc is None or venc.n_cols < W or state._grow_to:
         return None
     widths = np.empty(W, np.int32)
     bases = []
