@@ -1300,6 +1300,11 @@ def _watchdog_main() -> None:
     except OSError:
         pass
     env = dict(os.environ, FWT_BENCH_CHILD="1", FWT_BENCH_PARTIAL=partial)
+    # bound glibc's per-thread arena count: the bench child runs producer/
+    # transfer/writer threads whose freed allocations otherwise stay in
+    # per-thread arenas that malloc_trim cannot return (a large share of
+    # the cross-phase RSS accumulation VERDICT r4 flagged)
+    env.setdefault("MALLOC_ARENA_MAX", "2")
     deadline = float(os.environ.get("FWT_BENCH_DEADLINE", "840"))
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],

@@ -133,38 +133,58 @@ def save_model(
         _write_chunk(fh, vw.to_source_json().encode())
         _write_chunk(fh, mi.to_json().encode())
 
-        blocks: list[bytes] = []
+        # Sizes are computed analytically and blocks STREAMED to the file
+        # (chunked interleave + ndarray.tofile): the old accumulate-then-
+        # write built a full interleaved temp plus a tobytes() copy per
+        # block — ~800 MB transient for a b=25 model, the single biggest
+        # RSS spike in bench.py's phase decomposition.
         has_state = model.opt_lr.has_state
-        # LR block: interleaved weight/acc pairs (row tables flattened back
-        # to the reference's flat arena layout)
         lr_w = _np(params, "lr_w").reshape(-1)[: model.lr_size]
-        if has_state:
-            lr = np.empty(lr_w.size * 2, np.float32)
-            lr[0::2] = lr_w
-            lr[1::2] = _np(params, "lr_acc").reshape(-1)[: model.lr_size]
-            blocks.append(lr.tobytes())
-        else:
-            blocks.append(lr_w.tobytes())
-
+        lr_acc = (_np(params, "lr_acc").reshape(-1)[: model.lr_size]
+                  if has_state else None)
+        ffm_w = ffm_acc = ffm_q = None
         if model.has_ffm:
             ffm_w = _np(params, "ffm_w").reshape(-1)[: model.ffm_size]
             if quantize_weights:
-                blocks.append(quantization.quantize_ffm_weights(ffm_w))
-            else:
-                blocks.append(ffm_w.tobytes())
+                ffm_q = quantization.quantize_ffm_weights(ffm_w)
             if model.opt_ffm.has_state:
-                blocks.append(
-                    _np(params, "ffm_acc").reshape(-1)[: model.ffm_size].tobytes()
-                )
-
+                ffm_acc = _np(params, "ffm_acc").reshape(-1)[: model.ffm_size]
+        nn_blocks: list[bytes] = []
         if model.has_nn:
             for layer in params["nn"]:
-                blocks.append(_nn_layer_bytes(layer, model.opt_nn.has_state))
-            blocks.append(_nn_layer_bytes(params["final"], model.opt_nn.has_state))
+                nn_blocks.append(_nn_layer_bytes(layer, model.opt_nn.has_state))
+            nn_blocks.append(_nn_layer_bytes(params["final"],
+                                             model.opt_nn.has_state))
 
-        total = sum(len(b) for b in blocks)
+        total = int(lr_w.nbytes) * (2 if has_state else 1)
+        if model.has_ffm:
+            total += len(ffm_q) if ffm_q is not None else int(ffm_w.nbytes)
+            if ffm_acc is not None:
+                total += int(ffm_acc.nbytes)
+        total += sum(len(b) for b in nn_blocks)
         fh.write(struct.pack("<Q", total))
-        for b in blocks:
+
+        if has_state:
+            # LR block: interleaved weight/acc pairs (row tables flattened
+            # back to the reference's flat arena layout), 4M-element chunks
+            CH = 4 << 20
+            buf = np.empty(2 * CH, np.float32)
+            for off in range(0, lr_w.size, CH):
+                m = min(CH, lr_w.size - off)
+                t = buf[: 2 * m]
+                t[0::2] = lr_w[off:off + m]
+                t[1::2] = lr_acc[off:off + m]
+                t.tofile(fh)
+        else:
+            np.ascontiguousarray(lr_w).tofile(fh)
+        if model.has_ffm:
+            if ffm_q is not None:
+                fh.write(ffm_q)
+            else:
+                np.ascontiguousarray(ffm_w).tofile(fh)
+            if ffm_acc is not None:
+                np.ascontiguousarray(ffm_acc).tofile(fh)
+        for b in nn_blocks:
             fh.write(b)
     os.replace(tmp, path)
 
