@@ -387,9 +387,11 @@ class SuperbatchProducer:
             group_n = 0
             glay = None
             seen = 0
-            # adaptive-vocab accounting (full superbatches only)
+            # adaptive-vocab accounting (full superbatches only);
+            # 'fused' counts try_fused_emit successes in the current window
             vstat = {"probe": None, "t_work": 0.0, "t_put": 0.0,
-                     "ex": 0, "groups": 0, "t_mark": time.perf_counter()}
+                     "ex": 0, "groups": 0, "fused": 0,
+                     "t_mark": time.perf_counter()}
             # producer sub-stage CPU (thread CPU seconds, this thread only):
             # ingest = parse+translate+fill+counts (native_batch_stream),
             # prepare = transfer slimming/vocab/bitpack, pack = superbatch
@@ -401,6 +403,19 @@ class SuperbatchProducer:
                 is the certified pipeline floor for two consecutive windows
                 and the fatter plain payload would not become a worse one."""
                 if not self.vocab_adaptive or vocab_state.disabled:
+                    return
+                if vstat["fused"] > 0:
+                    # the fused emit engaged this window: with it, the
+                    # vocab-encoded path IS the cheap producer mode (the
+                    # probe's dt_prep measures the GENERAL path's encode
+                    # overhead, which fused batches never pay) — flipping
+                    # would lose both the fused sweep and the payload
+                    # shrink. Reset the window and keep encoding.
+                    vstat.update(t_work=0.0, t_put=0.0, ex=0, groups=0,
+                                 fused=0)
+                    self.xfer_stats.update(starve_s=0.0, xfer_s=0.0,
+                                           put_s=0.0, bytes=0)
+                    self.flip_policy.votes = 0
                     return
                 verdict, detail = self.flip_policy.evaluate(
                     vstat["probe"], vstat, self.xfer_stats)
@@ -514,9 +529,13 @@ class SuperbatchProducer:
                 flags = ni.all_ones_flags()
                 if flags & 5 != 5:  # lr values + importances all-ones
                     return None
-                return packed_mod.try_fused_emit(
+                res = packed_mod.try_fused_emit(
                     ni, s, cap, L, mi, vocab_state,
                     with_counts=self.count_keys is not None)
+                if res is not None:
+                    vstat["fused"] += 1  # vetoes the vocab flip: with the
+                    # fused sweep, encoding IS the cheap producer mode
+                return res
 
             stream = native_batch_stream(
                 args, mi, vw, batch_size, self.cut_at, self.count_keys,
