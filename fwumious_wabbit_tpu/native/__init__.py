@@ -144,6 +144,9 @@ def _configure(lib):
         ctypes.c_int32, i64, ctypes.c_int32,          # words, tab_len, n_direct
         P(u32), P(u8), P(u8), P(u32),                 # ids, tab, direct, label
         P(i32), P(i32),                               # combo_row, const_code
+        ctypes.c_int32, ctypes.c_int32,               # n_ffm_pad, ffm_bits
+        ctypes.c_int32, ctypes.c_int32,               # ffm_words, ffm_shift
+        P(u32), P(u8), P(i32),                        # ffm ids/counts/fields
     ]
 
 
@@ -655,13 +658,19 @@ class NativeIngest:
                    const_id: int, widths: np.ndarray, tab_bases,
                    words: int, tab_len: int, n_direct: int,
                    out_ids, out_tab, out_direct, out_label,
-                   combo_row: np.ndarray, const_code: np.ndarray) -> bool:
+                   combo_row: np.ndarray, const_code: np.ndarray,
+                   n_ffm_pad: int = 0, ffm_bits: int = 0,
+                   ffm_words: int = 0, ffm_shift: int = -1,
+                   out_ffm_ids=None, out_ffm_counts=None,
+                   ffm_field_row=None) -> bool:
         """One-sweep steady-state emit of examples [start, start+count) of
         the last translated block straight to the packed wire arrays (see
         fw_native.cpp fwn_emit_fused for the full contract). The out_*
         arguments are 1-D u32/u8 SLICES of the caller's buffers (typically
-        views into one packed row); ``tab_len < 0`` disables counts.
-        Returns False on bail — the caller must use the general path."""
+        views into one packed row); ``tab_len < 0`` disables LR counts,
+        ``n_ffm_pad > 0`` adds the FFM columns (``ffm_shift < 0``: no FFM
+        counts). Returns False on bail — the caller must use the general
+        path."""
         Pu8 = ctypes.POINTER(ctypes.c_uint8)
         Pu32 = ctypes.POINTER(ctypes.c_uint32)
         Pi32 = ctypes.POINTER(ctypes.c_int32)
@@ -676,5 +685,11 @@ class NativeIngest:
             None if out_direct is None else out_direct.ctypes.data_as(Pu8),
             out_label.ctypes.data_as(Pu32),
             combo_row.ctypes.data_as(Pi32),
-            const_code.ctypes.data_as(Pi32))
+            const_code.ctypes.data_as(Pi32),
+            n_ffm_pad, ffm_bits, ffm_words, ffm_shift,
+            None if out_ffm_ids is None else out_ffm_ids.ctypes.data_as(Pu32),
+            None if out_ffm_counts is None
+            else out_ffm_counts.ctypes.data_as(Pu8),
+            None if ffm_field_row is None
+            else ffm_field_row.ctypes.data_as(Pi32))
         return bool(ok)

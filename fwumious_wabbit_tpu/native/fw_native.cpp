@@ -858,7 +858,16 @@ int fwn_emit_fused(void* ctx_p, void* vocab_p, int64_t start, int64_t count,
                    int32_t words, int64_t tab_len, int32_t n_direct,
                    uint32_t* out_ids, uint8_t* out_tab, uint8_t* out_direct,
                    uint32_t* out_label, int32_t* combo_row,
-                   int32_t* out_const_code) {
+                   int32_t* out_const_code,
+                   // FFM columns (n_ffm_pad == 0: LR-only schema). The
+                   // wire shape is the general path's PADDED width (the
+                   // stream floors it at 4): every example must carry the
+                   // same real entry count R <= n_ffm_pad; columns past R
+                   // emit id 0 / field -1 / count 0, exactly like
+                   // fill_range's padding. ffm_shift < 0: no FFM counts.
+                   int32_t n_ffm_pad, int32_t ffm_bits, int32_t ffm_words,
+                   int32_t ffm_shift, uint32_t* out_ffm_ids,
+                   uint8_t* out_ffm_counts, int32_t* ffm_field_row) {
   auto* ctx = static_cast<Ctx*>(ctx_p);
   auto* v = static_cast<Vocab*>(vocab_p);
   const int32_t W = W_all - 1;  // wire columns (constant column stripped)
@@ -866,6 +875,8 @@ int fwn_emit_fused(void* ctx_p, void* vocab_p, int64_t start, int64_t count,
     return 0;
   const bool with_counts = tab_len >= 0;
   if (count * W_all >= (int64_t(1) << RADIX_IDX_BITS)) return 0;
+  if (n_ffm_pad > 0 && count * n_ffm_pad >= (int64_t(1) << RADIX_IDX_BITS))
+    return 0;
 
   // resolve the example range to (shard, local index) spans and verify
   // the fixed width W_all — variable-width examples use the general path
@@ -892,13 +903,21 @@ int fwn_emit_fused(void* ctx_p, void* vocab_p, int64_t start, int64_t count,
     if (base < end && n_spans == 0) return 0;
   }
   int64_t total = 0;
+  int32_t ffm_R = -1;  // real FFM entries per example (uniform or bail)
   for (int s = 0; s < n_spans; s++) {
     const Shard& sh = *spans[s].sh;
-    for (int64_t i = spans[s].lo; i < spans[s].hi; i++)
+    for (int64_t i = spans[s].lo; i < spans[s].hi; i++) {
       if (sh.lr_start[i + 1] - sh.lr_start[i] != W_all) return 0;
+      if (n_ffm_pad > 0) {
+        int32_t r = sh.ffm_start[i + 1] - sh.ffm_start[i];
+        if (ffm_R < 0) ffm_R = r;
+        if (r != ffm_R || r > n_ffm_pad) return 0;
+      }
+    }
     total += spans[s].hi - spans[s].lo;
   }
   if (total != count) return 0;
+  if (n_ffm_pad > 0 && ffm_R < 0) return 0;
 
   // The emit sweep — vocab lookup, mixed-width bit-write, per-slot count
   // accumulation, label bits, combo/constant verification.
@@ -935,9 +954,12 @@ int fwn_emit_fused(void* ctx_p, void* vocab_p, int64_t start, int64_t count,
   };
   std::memset(out_label, 0, size_t(count / 32) * 4);
   static thread_local std::vector<uint32_t> slot_counts, ab_extra;
+  static thread_local std::vector<uint64_t> ffm_ent;
+  static thread_local std::vector<size_t> ffm_hist;
   std::vector<uint64_t>& ab = g_radix_cur;
   std::vector<size_t>& hist = g_radix_hist;
-  uint32_t ab_seen = 0;
+  uint32_t ab_seen = 0, ffm_seen = 0;
+  const bool ffm_counts_on = n_ffm_pad > 0 && ffm_shift >= 0;
   if (with_counts) {
     std::memset(out_tab, 0, size_t(tab_len));
     slot_counts.assign(size_t(tab_len), 0);
@@ -946,6 +968,14 @@ int fwn_emit_fused(void* ctx_p, void* vocab_p, int64_t start, int64_t count,
       ab.reserve(size_t(count * n_direct));
     ab.clear();
     hist.assign((size_t(1) << RADIX_B1) + 1, 0);
+  }
+  if (ffm_counts_on) {
+    if (ffm_ent.capacity() < size_t(count * ffm_R))
+      ffm_ent.reserve(size_t(count * ffm_R));
+    ffm_ent.clear();
+    ffm_hist.assign((size_t(1) << RADIX_B1) + 1, 0);
+    // padding columns' codes are 0, like fill_range+batch_counts
+    std::memset(out_ffm_counts, 0, size_t(count * n_ffm_pad));
   }
   int64_t b = 0;
   auto prefetch_row = [&](const uint32_t* row) {
@@ -973,6 +1003,47 @@ int fwn_emit_fused(void* ctx_p, void* vocab_p, int64_t start, int64_t count,
       if (i + 1 < spans[s].hi)
         prefetch_row(sh.lr_ids.data() + sh.lr_start[i + 1]);
       if (row[W] != const_id) return bail();
+      if (n_ffm_pad > 0) {
+        const int32_t f0 = sh.ffm_start[i];
+        const uint32_t* frow = sh.ffm_ids.data() + f0;
+        const int32_t* ffrow = sh.ffm_fields.data() + f0;
+        if (b == 0) {
+          for (int32_t j = 0; j < ffm_R; j++) ffm_field_row[j] = ffrow[j];
+          for (int32_t j = ffm_R; j < n_ffm_pad; j++) ffm_field_row[j] = -1;
+        } else {
+          for (int32_t j = 0; j < ffm_R; j++)
+            if (ffrow[j] != ffm_field_row[j]) return bail();
+        }
+        uint32_t* fdst = out_ffm_ids + b * ffm_words;
+        uint64_t fac = 0;
+        int fbits = 0, fw = 0;
+        for (int32_t j = 0; j < n_ffm_pad; j++) {
+          uint32_t id = j < ffm_R ? frow[j] : 0u;
+          if (ffm_bits == 0) {
+            // raw i32 mode: the bit-pack would not save a whole word at
+            // this padded width, so the general path ships the column
+            // unpacked (bitpack_ids' words >= W early-out)
+            fdst[j] = id;
+          } else {
+            if (id >> ffm_bits) return bail();
+            fac |= uint64_t(id) << fbits;
+            fbits += ffm_bits;
+            if (fbits >= 32) {
+              fdst[fw++] = uint32_t(fac);
+              fac >>= 32;
+              fbits -= 32;
+            }
+          }
+          if (ffm_counts_on && j < ffm_R) {
+            uint32_t key = id >> ffm_shift;
+            ffm_seen |= key;
+            ffm_hist[(key & ((1u << RADIX_B1) - 1)) + 1]++;
+            ffm_ent.push_back((uint64_t(key) << RADIX_IDX_BITS) |
+                              uint64_t(b * n_ffm_pad + j));
+          }
+        }
+        if (ffm_bits != 0 && fbits > 0) fdst[fw] = uint32_t(fac);
+      }
       uint32_t* dst = out_ids + b * words;
       uint64_t accum = 0;
       int nbits = 0, w = 0;
@@ -1011,7 +1082,28 @@ int fwn_emit_fused(void* ctx_p, void* vocab_p, int64_t start, int64_t count,
       if (nbits > 0) dst[w] = uint32_t(accum);
     }
   }
-  if (!with_counts) return 1;
+  // FFM multiplicity codes: an independent key space (id >> ffm_shift over
+  // the FFM entries only, exactly fwn_batch_counts' semantics for the ffm
+  // arrays); runs AFTER the LR direct pass since both share the radix
+  // scratch. Row-uniform codes bail like the LR table (the general path
+  // ships those as a zero-byte broadcast).
+  auto emit_ffm_codes = [&]() -> bool {
+    if (!ffm_counts_on) return true;
+    g_radix_cur.swap(ffm_ent);
+    g_radix_hist.swap(ffm_hist);
+    radix_emit_codes(ffm_seen, out_ffm_counts);
+    bool funiform = true;
+    for (int32_t j = 0; j < n_ffm_pad && funiform; j++) {
+      uint8_t c0 = out_ffm_counts[j];
+      for (int64_t q = 1; q < count; q++)
+        if (out_ffm_counts[q * n_ffm_pad + j] != c0) {
+          funiform = false;
+          break;
+        }
+    }
+    return !funiform;
+  };
+  if (!with_counts) return emit_ffm_codes() ? 1 : bail();
 
   // post-pass 1: direct-column codes by id run-length; each unique direct
   // id folds in the dictionary slots holding the same id (cross-column
@@ -1131,6 +1223,7 @@ int fwn_emit_fused(void* ctx_p, void* vocab_p, int64_t start, int64_t count,
   }
   if (codes_uniform) return bail();  // the general path ships row-uniform
   // counts as a zero-byte broadcast — a table would be strictly worse
+  if (!emit_ffm_codes()) return bail();
   return 1;
 }
 

@@ -581,7 +581,8 @@ class PreparedBatch:
 
 
 def try_fused_emit(ni, start: int, B: int, W_all: int, mi,
-                   state: VocabTransferState, with_counts: bool):
+                   state: VocabTransferState, with_counts: bool,
+                   ffm_pad_width: int = 0, ffm_count_shift=None):
     """Steady-state fused emit of one FULL batch: translated SoA →
     final wire arrays in one native sweep (fwn_emit_fused), byte-identical
     to the prepare_for_transfer chain (asserted in tests/test_fused_emit).
@@ -652,6 +653,31 @@ def try_fused_emit(ni, start: int, B: int, W_all: int, mi,
         if toff + B * n_direct >= B * W:
             return None  # per-entry codes are smaller (table_counts)
         tab_len = toff
+    # FFM columns: the wire shape is the stream's PADDED width; the ids
+    # column ships bit-packed only when that saves a whole u32 word per
+    # row (bitpack_ids' rule), else raw i32 — byte-identical either way
+    n_ffm = int(ffm_pad_width)
+    ffm_bits = fwords = 0
+    ffm_packed = False
+    out_ffm_ids = out_ffm_counts = ffm_field_row = None
+    fshift = -1
+    if n_ffm > 0:
+        if getattr(mi, "ffm_k", 0) <= 0:
+            return None
+        fb = mi.ffm_bit_precision
+        fwords = (n_ffm * fb + 31) // 32
+        ffm_packed = fb <= 31 and fwords < n_ffm
+        if ffm_packed:
+            ffm_bits = fb
+        else:
+            fwords = n_ffm
+        out_ffm_ids = np.empty(
+            (B, fwords), np.uint32 if ffm_packed else np.int32)
+        ffm_field_row = np.empty(n_ffm, np.int32)
+        if ffm_count_shift is not None:
+            fshift = int(ffm_count_shift)
+            out_ffm_counts = np.empty((B, n_ffm), np.uint8)
+
     out_ids = np.empty((B, words), np.uint32)
     out_label = np.empty(B // 32, np.uint32)
     out_tab = np.empty(tab_len, np.uint8) if with_counts else None
@@ -664,16 +690,32 @@ def try_fused_emit(ni, start: int, B: int, W_all: int, mi,
                          out_tab,
                          None if out_direct is None
                          else out_direct.reshape(-1),
-                         out_label, combo_row, const_code):
+                         out_label, combo_row, const_code,
+                         n_ffm_pad=n_ffm, ffm_bits=ffm_bits,
+                         ffm_words=fwords, ffm_shift=fshift,
+                         out_ffm_ids=None if out_ffm_ids is None
+                         else out_ffm_ids.reshape(-1).view(np.uint32),
+                         out_ffm_counts=None if out_ffm_counts is None
+                         else out_ffm_counts.reshape(-1),
+                         ffm_field_row=ffm_field_row):
         return None
-    # zero-byte FFM placeholders: fill_range always materializes them for
-    # LR-only schemas and slim keeps them, so they are part of the general
-    # path's layout signature — the fused layout must match it exactly or
-    # fused and general batches would split superbatch groups
-    slim = {"label": out_label, "lr_ids": out_ids,
-            "ffm_fields": np.empty((B, 0), np.int8),
-            "ffm_ids": np.empty((B, 0), np.int32),
-            "ffm_vals": np.empty((B, 0), np.float32)}
+    slim = {"label": out_label, "lr_ids": out_ids}
+    bitpacks = ()
+    if n_ffm > 0:
+        slim["ffm_ids"] = out_ffm_ids
+        if ffm_packed:
+            bitpacks = (("ffm_ids", ffm_bits, n_ffm),)
+        if out_ffm_counts is not None:
+            slim["ffm_counts"] = out_ffm_counts
+    else:
+        # zero-byte FFM placeholders: fill_range always materializes them
+        # for LR-only schemas and slim keeps them, so they are part of the
+        # general path's layout signature — the fused layout must match it
+        # exactly or fused and general batches would split superbatch
+        # groups
+        slim["ffm_fields"] = np.empty((B, 0), np.int8)
+        slim["ffm_ids"] = np.empty((B, 0), np.int32)
+        slim["ffm_vals"] = np.empty((B, 0), np.float32)
     appends = [("lr_ids", const_id)]
     if with_counts:
         slim["lr_counts"] = out_direct
@@ -681,12 +723,17 @@ def try_fused_emit(ni, start: int, B: int, W_all: int, mi,
         appends.append(("lr_counts", int(const_code[0])))
     row_broadcasts = (("lr_combos", np.dtype(np.int32).str,
                        tuple(int(x) for x in combo_row), B),)
+    if n_ffm > 0:
+        # same append order as prepare_for_transfer's strip_uniform_rows
+        # loop: lr_combos (from the vocab encode) first, then ffm_fields
+        row_broadcasts += (("ffm_fields", np.dtype(np.int8).str,
+                            tuple(int(x) for x in ffm_field_row), B),)
     vocabs = (("lr_ids", tuple(int(x) for x in widths), tuple(bases),
                n_rows),)
     count_tabs = ((("lr_counts", "lr_ids",
                     tuple(int(x) for x in tab_bases)),)
                   if with_counts else ())
-    lay = layout_of(slim, tuple(appends), (), row_broadcasts, vocabs,
+    lay = layout_of(slim, tuple(appends), bitpacks, row_broadcasts, vocabs,
                     count_tabs, (("label", B),))
     if lay is None:
         return None

@@ -507,14 +507,13 @@ class SuperbatchProducer:
             fused_enabled = (
                 self.can_pack and self.bitpack_on
                 and vocab_state is not None
-                and getattr(mi, "ffm_k", 0) == 0
                 and os.environ.get("FWT_FUSED", "on") != "off"
                 and (self.count_keys is None
-                     or (set(self.count_keys) == {"lr"}
-                         and self.count_keys["lr"] == 0)))
+                     or (set(self.count_keys) <= {"lr", "ffm"}
+                         and self.count_keys.get("lr", 0) == 0)))
 
             def _fused_hook(ni, s, cap, L, N, emitted_before):
-                if N:
+                if N and getattr(mi, "ffm_k", 0) <= 0:
                     return None
                 if self.holdout_after is not None \
                         and emitted_before >= self.cut_at:
@@ -527,11 +526,17 @@ class SuperbatchProducer:
                     # policy gets its cost/payload probe
                     return None
                 flags = ni.all_ones_flags()
-                if flags & 5 != 5:  # lr values + importances all-ones
+                # lr values + importances all-ones; ffm values too when
+                # the schema has FFM columns
+                need = 5 | (2 if N else 0)
+                if flags & need != need:
                     return None
+                ck = self.count_keys
                 res = packed_mod.try_fused_emit(
                     ni, s, cap, L, mi, vocab_state,
-                    with_counts=self.count_keys is not None)
+                    with_counts=ck is not None and "lr" in ck,
+                    ffm_pad_width=N,
+                    ffm_count_shift=None if ck is None else ck.get("ffm"))
                 if res is not None:
                     vstat["fused"] += 1  # vetoes the vocab flip: with the
                     # fused sweep, encoding IS the cheap producer mode

@@ -238,3 +238,40 @@ class TestFusedEmitParity:
                                      monkeypatch=monkeypatch, fused=True)
         assert engaged >= 1, "fused path never engaged — test is vacuous"
         _assert_streams_identical(ref, got)
+
+    def test_ffm_schema_byte_identical(self, tmp_path, monkeypatch):
+        """FFM columns through the fused sweep: padded-width ids (raw i32
+        at the 4×25-bit no-saving width), uniform field-row broadcast,
+        per-entry FFM multiplicity codes in their own key space — byte
+        parity with the general path on the production FFM config."""
+        _requires_native()
+        from fwumious_wabbit_tpu.config.cmdline import build_parser
+        from fwumious_wabbit_tpu.config.model_instance import ModelInstance
+        from fwumious_wabbit_tpu.config.vwmap import VwNamespaceMap
+
+        with open(tmp_path / "vw_namespace_map.csv", "w") as f:
+            f.write("A,animal\nB,food\n")
+        rng = np.random.default_rng(17)
+        data = tmp_path / "train.vw"
+        with open(data, "w") as f:
+            for _ in range(10000):
+                label = 1 if rng.integers(0, 2) else -1
+                f.write(f"{label} |A a{rng.integers(0, 20)} "
+                        f"|B b{rng.integers(0, 15)}\n")
+        argv = ["--data", str(data), "-l", "0.1", "-b", "18", "--adaptive",
+                "--power_t", "0.0", "--interactions", "AB",
+                "--keep", "A", "--keep", "B",
+                "--ffm_k", "4", "--ffm_bit_precision", "18",
+                "--ffm_field", "A", "--ffm_field", "B"]
+        args = build_parser().parse_args(argv)
+        vw = VwNamespaceMap.from_dataset_dir(args.data)
+        mi = ModelInstance.from_cmdline(args, vw)
+        for ck in ({"lr": 0, "ffm": 3}, {"ffm": 3}, None):
+            ref, _ = _run_producer(args, mi, vw, B=2048, K=2,
+                                   count_keys=ck,
+                                   monkeypatch=monkeypatch, fused=False)
+            got, engaged = _run_producer(args, mi, vw, B=2048, K=2,
+                                         count_keys=ck,
+                                         monkeypatch=monkeypatch, fused=True)
+            assert engaged >= 1, f"fused never engaged for {ck}"
+            _assert_streams_identical(ref, got)
