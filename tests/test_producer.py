@@ -83,6 +83,62 @@ class TestVocabFlipPolicy:
         assert verdict == "flip" and detail == "forced"
 
 
+def test_fused_engagement_vetoes_flip(tmp_path, monkeypatch):
+    """A window in which the fused emit engaged must never disable the
+    vocab encode (r5): with the fused sweep, encoding IS the cheap
+    producer mode — the flip's probe measures the GENERAL path's encode
+    overhead, which fused batches never pay. Forced-flip conditions plus
+    fused engagement ⇒ the encode stays on for the whole run."""
+    pytest.importorskip("fwumious_wabbit_tpu.native")
+    from fwumious_wabbit_tpu import native as fw_native
+    from fwumious_wabbit_tpu.config.cmdline import build_parser
+    from fwumious_wabbit_tpu.config.model_instance import ModelInstance
+    from fwumious_wabbit_tpu.config.vwmap import VwNamespaceMap
+    from fwumious_wabbit_tpu.train import packed as packed_mod
+
+    if fw_native.load() is None:
+        pytest.skip("native engine unavailable")
+    # tiny vocabularies (A:5, B:4, AB:20) saturate within the first couple
+    # of batches, so the fused path engages for the rest of the run
+    (tmp_path / "vw_namespace_map.csv").write_text("A,a\nB,b\n")
+    rng = np.random.default_rng(23)
+    data = tmp_path / "d.vw"
+    with open(data, "w") as f:
+        for _ in range(2000):
+            label = 1 if rng.integers(0, 2) else -1
+            f.write(f"{label} |A a{rng.integers(0, 5)} "
+                    f"|B b{rng.integers(0, 4)}\n")
+    argv = ["--data", str(data), "-l", "0.1", "-b", "18", "--adaptive",
+            "--power_t", "0.0", "--interactions", "AB",
+            "--keep", "A", "--keep", "B"]
+    args = build_parser().parse_args(argv)
+    vw = VwNamespaceMap.from_dataset_dir(args.data)
+    mi = ModelInstance.from_cmdline(args, vw)
+    monkeypatch.setenv("FWT_FUSED", "on")
+    vstate = packed_mod.VocabTransferState()
+
+    def run_once(force):
+        prod = SuperbatchProducer(
+            args, mi, vw, batch_size=64, K=2, can_pack=True,
+            count_keys=None, cut_at=None, holdout_after=None,
+            out_queue=_ListSink(), ctr=_fresh_ctr(),
+            xfer_stats={"starve_s": 50.0, "xfer_s": 0.01, "put_s": 0.0,
+                        "bytes": 10_000_000},
+            vocab_state=vstate)
+        if force:
+            prod.flip_policy = VocabFlipPolicy("force")  # any evaluated
+            # window flips — unless the fused veto intercepts it
+        prod.run()
+
+    run_once(force=False)  # warm pass: dictionaries saturate (mints keep
+    # those early batches on the general path)
+    assert not vstate.disabled
+    run_once(force=True)   # every full batch now fuses → veto everywhere
+    disabled = vstate.disabled
+    vstate.close()
+    assert not disabled, "fused engagement must veto the vocab flip"
+
+
 @pytest.fixture(scope="module")
 def eat_rate_setup(tmp_path_factory):
     """A small Eat-Rate-schema dataset + config, for stream-level tests."""
