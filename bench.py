@@ -1095,6 +1095,11 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
             try:
                 targv = [a for a in fargv if a != "-c"]
                 targs = build_parser().parse_args(targv)
+                # text-from-scratch runs re-grow the vocab dictionaries, so
+                # their early-group layouts differ from the replay-warmed
+                # ones — one untimed text pass compiles those programs
+                # (served by the persistent cache on re-runs)
+                run_train_loop(targs, fmi, vw, fmodel)
                 truns, tdets = [], []
                 for _ in range(2):
                     t_run = time.time()
@@ -1124,7 +1129,10 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
         # table scale is the subject; the Pallas table-sweep kernel
         # auto-dispatches at this size). The multi-device counterpart is
         # certified by dryrun_multichip's trajectory-equality assertion.
-        if budget_left() > 240:
+        if budget_left() <= 240:
+            print("# ffm b=29 row skipped (deadline budget)",
+                  file=sys.stderr)
+        else:
             try:
                 bargv = _base_argv(data) + [
                     "--ffm_k", "8", "--ffm_bit_precision", "29",
