@@ -782,18 +782,15 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
     except Exception as e:  # noqa: BLE001
         print(f"# host-only probes failed: {e}", file=sys.stderr)
 
-    # warmup run on a slice to absorb compile time (the reference's numbers
-    # exclude binary build time; XLA compilation is our build step). The
-    # slice must cover at least one full superbatch (8 x 32768) so the
-    # packed train step compiles here, not inside the timed runs.
-    warm = CACHE_DIR / "warm.vw"
-    if not warm.exists() or sum(1 for _ in open(warm)) < 300_000:
-        with open(data) as f, open(warm, "w") as g:
-            for _ in range(300_000):
-                g.write(f.readline())
-    wargs = build_parser().parse_args(
-        [a if a != str(data) else str(warm) for a in argv])
-    run_train_loop(wargs, mi, vw, model)
+    # warmup run over the FULL dataset to absorb compile time (the
+    # reference's numbers exclude binary build time; XLA compilation is
+    # our build step). It must be the full run, not a slice: the vocab
+    # dictionaries' growth re-signatures the packed layout several times
+    # along the stream (width and count-tab grain crossings), and a slice
+    # warm leaves the LATE-growth programs to compile inside timed run 0
+    # — both r5 pre-fix benches show a systematic ~65k first run beside
+    # 400-570k siblings, ~15 s of remote compiles in a 2 s run.
+    run_train_loop(args, mi, vw, model)
     _rss_phase(rssp, "warm_train")
 
     # 3 passes: report mean/σ like the reference's benchmark tables
