@@ -94,6 +94,7 @@ def _configure(lib):
         P(f32), P(i8), P(i32), P(f32), P(i8),
     ]
     lib.fwn_set_build_records.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.fwn_carry_tail.argtypes = [ctypes.c_void_p, i64]
     lib.fwn_all_ones.restype = ctypes.c_int
     lib.fwn_all_ones.argtypes = [ctypes.c_void_p]
     lib.fwn_batch_counts.argtypes = [P(i32), P(i8), P(f32), i64,
@@ -625,6 +626,13 @@ class NativeIngest:
             "lr_ids": lr_ids, "lr_vals": lr_vals, "lr_combos": lr_combos,
             "ffm_ids": ffm_ids, "ffm_vals": ffm_vals, "ffm_fields": ffm_fields,
         }
+
+    def carry_tail(self, consumed: int) -> None:
+        """Keep examples [consumed, n) of the last translated block for
+        the NEXT translate call (they re-appear at index 0): the stream
+        emits only full batches mid-stream and carries the remainder, so
+        batch boundaries don't depend on the chunk size."""
+        self._lib.fwn_carry_tail(self._ctx, consumed)
 
     def batch_counts(self, ids: np.ndarray, mark: np.ndarray,
                      shift: int = 0,

@@ -203,6 +203,10 @@ struct Shard {
 struct Ctx {
   Config cfg;
   std::vector<Shard> shards;
+  // examples carried across translate calls (fwn_carry_tail): a block's
+  // sub-batch remainder re-appears at index 0 of the next block, so batch
+  // boundaries stop depending on the caller's chunking
+  Shard carry;
   std::string error;
   int64_t n_examples = 0;
   int64_t records_consumed = 0;

@@ -167,9 +167,16 @@ int64_t fwn_translate_block(void* p, const char* buf, int64_t len) {
   };
   std::vector<int64_t> shard_err_off(size_t(T), INT64_MAX);
 
+  // clear up front (not inside work): examples carried from the previous
+  // block (fwn_carry_tail) lead shard 0, and the parse threads APPEND
+  for (auto& sh : ctx->shards) sh.clear();
+  if (!ctx->carry.label.empty()) {
+    std::swap(ctx->shards[0], ctx->carry);
+    ctx->carry.clear();
+  }
+
   auto work = [&](int t) {
     Shard& sh = ctx->shards[t];
-    sh.clear();
     auto [rs, re] = ranges[t];
     int64_t i = rs;
     std::vector<uint32_t> scratch;  // reused per line when records not kept
@@ -216,7 +223,8 @@ int64_t fwn_translate_block(void* p, const char* buf, int64_t len) {
     for (int t = 0; t < T; t++) threads.emplace_back(work, t);
     for (auto& th : threads) th.join();
   }
-  for (int t = T; t < int(ctx->shards.size()); t++) ctx->shards[t].clear();
+  // (all shards were cleared up front; shard 0 may hold carried examples
+  // even when T == 0 — an empty input flushes the carry)
 
   const int64_t stop = stop_min.load(std::memory_order_relaxed);
   const int64_t aerr = err_min.load(std::memory_order_relaxed);
@@ -267,6 +275,10 @@ int64_t fwn_translate_records(void* p, const uint32_t* recs, int64_t words) {
   auto formats = slot_formats(cfg);
   for (auto& sh : ctx->shards) sh.clear();
   Shard& sh = ctx->shards[0];
+  if (!ctx->carry.label.empty()) {  // carried examples lead the block
+    std::swap(ctx->shards[0], ctx->carry);
+    ctx->carry.clear();
+  }
   int64_t off = 0;
   while (off < words) {
     uint32_t reclen = recs[off];
@@ -408,6 +420,40 @@ void fwn_fill(void* p, int64_t B, int64_t L, int64_t N, float* label,
   auto* ctx = static_cast<Ctx*>(p);
   fwn_fill_range(p, 0, ctx->n_examples, B, L, N, label, importance, lr_ids,
                  lr_vals, lr_combos, ffm_ids, ffm_vals, ffm_fields);
+}
+
+// Keep examples [consumed, n) for the NEXT translate call — they will
+// lead shard 0, so batch boundaries stop depending on the caller's chunk
+// size. Without this every input chunk ended in a padded partial batch
+// (~3% padded device compute at 10M rows / 64 MB chunks, and one extra
+// compiled solo program per run). Packed records are NOT carried: the
+// cache writer consumed them when their block was parsed.
+void fwn_carry_tail(void* p, int64_t consumed) {
+  auto* ctx = static_cast<Ctx*>(p);
+  Shard& dst = ctx->carry;
+  dst.clear();
+  int64_t base = 0;
+  for (auto& sh : ctx->shards) {
+    int64_t m = int64_t(sh.label.size());
+    int64_t lo = std::max(consumed - base, int64_t(0));
+    for (int64_t i = lo; i < m; i++) {
+      dst.label.push_back(sh.label[i]);
+      dst.importance.push_back(sh.importance[i]);
+      dst.lr_start.push_back(int32_t(dst.lr_ids.size()));
+      for (int32_t j = sh.lr_start[i]; j < sh.lr_start[i + 1]; j++) {
+        dst.lr_ids.push_back(sh.lr_ids[j]);
+        dst.lr_vals.push_back(sh.lr_vals[j]);
+        dst.lr_combos.push_back(sh.lr_combos[j]);
+      }
+      dst.ffm_start.push_back(int32_t(dst.ffm_ids.size()));
+      for (int32_t j = sh.ffm_start[i]; j < sh.ffm_start[i + 1]; j++) {
+        dst.ffm_ids.push_back(sh.ffm_ids[j]);
+        dst.ffm_vals.push_back(sh.ffm_vals[j]);
+        dst.ffm_fields.push_back(sh.ffm_fields[j]);
+      }
+    }
+    base += m;
+  }
 }
 
 // Per-batch multiplicity counts for the batch-mean cap (ops/adagrad.py

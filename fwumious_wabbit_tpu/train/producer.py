@@ -137,6 +137,31 @@ def native_batch_stream(args, mi, vw, batch_size: int,
                 return res
         return slim(ni.fill_range(s, cap, batch_size, L, N), cap)
 
+    carried = [False]  # examples parked in the engine's carry shard
+
+    def drain(n: int, at_eof: bool):
+        """Emit batches from the current translated block. Mid-stream,
+        only FULL batches (and train/holdout boundary cuts, which are
+        semantic) are emitted; the sub-batch remainder is carried into
+        the next block (fwn_carry_tail) instead of going out as a padded
+        partial — batch boundaries no longer depend on the chunk size
+        (~3% padded device compute at 10M rows with the old per-chunk
+        partials, and one compiled solo program per run)."""
+        nonlocal emitted
+        L, N = widths()
+        s = 0
+        while s < n:
+            cap = min(block_cap(), n - s)
+            if cap < batch_size and not at_eof \
+                    and block_cap() == batch_size:
+                break  # chunk tail, not a boundary cut: carry it
+            yield emit_range(s, cap, L, N), cap
+            emitted += cap
+            s += cap
+        if s < n:
+            ni.carry_tail(s)
+        carried[0] = s < n
+
     if use_cache and Path(cpath).exists():
         try:
             reader = fwcache.RecordCacheReader(cpath, vw)
@@ -161,13 +186,13 @@ def native_batch_stream(args, mi, vw, batch_size: int,
                 tail = buf[consumed * 4:]
                 if n == 0:
                     continue
-                L, N = widths()
-                s = 0
-                while s < n:
-                    cap = min(block_cap(), n - s)
-                    yield emit_range(s, cap, L, N), cap
-                    emitted += cap
-                    s += cap
+                yield from drain(n, at_eof=not chunk)
+            if carried[0]:
+                # the reader hit EOF with examples still parked in the
+                # carry shard: surface them as a final (empty-input) block
+                n = ni.translate_records(np.empty(0, np.uint32))
+                if n:
+                    yield from drain(n, at_eof=True)
             return
         except (fwcache.StaleCacheError, ValueError) as e:
             log.warning("cache rejected (%s); reparsing", e)
@@ -176,7 +201,11 @@ def native_batch_stream(args, mi, vw, batch_size: int,
     if writer is None:
         ni.set_build_records(False)
     stream = create_buffered_input(input_filename)
-    CHUNK_BYTES = 64 << 20  # big chunks: at most one padded partial batch per chunk
+    # chunk size no longer affects batching (sub-batch remainders carry
+    # across blocks), so it is sized for RSS: the chunk buffer + its
+    # line-aligned copy + the translated SoA scale with it (64 MB chunks
+    # measured ~240 MB of the train-only footprint)
+    CHUNK_BYTES = int(float(os.environ.get("FWT_CHUNK_MB", "16")) * (1 << 20))
     try:
         tail = b""
         at_eof = False
@@ -209,13 +238,13 @@ def native_batch_stream(args, mi, vw, batch_size: int,
                 continue
             if writer is not None:
                 writer.push_record(ni.records())
-            L, N = widths()
-            s = 0
-            while s < n:
-                cap = min(block_cap(), n - s)
-                yield emit_range(s, cap, L, N), cap
-                emitted += cap
-                s += cap
+            yield from drain(n, at_eof)
+        if carried[0]:
+            # EOF arrived with no trailing bytes while examples were still
+            # parked in the carry shard: surface them as a final block
+            n = ni.translate_block(b"")
+            if n:
+                yield from drain(n, at_eof=True)
     except BaseException:
         if writer is not None:
             writer.abort()  # never publish a truncated cache

@@ -275,3 +275,25 @@ class TestFusedEmitParity:
                                          monkeypatch=monkeypatch, fused=True)
             assert engaged >= 1, f"fused never engaged for {ck}"
             _assert_streams_identical(ref, got)
+
+    def test_chunk_size_invariance(self, fused_setup, monkeypatch):
+        """Sub-batch remainders carry across translate blocks
+        (fwn_carry_tail), so the emitted stream must be byte-identical
+        whatever the input chunking — here 100 KB chunks (12+ blocks)
+        versus one block for the whole file."""
+        _requires_native()
+        args, mi, vw = fused_setup
+        monkeypatch.setenv("FWT_CHUNK_MB", "64")
+        ref, _ = _run_producer(args, mi, vw, B=512, K=2,
+                               count_keys={"lr": 0},
+                               monkeypatch=monkeypatch, fused=True)
+        monkeypatch.setenv("FWT_CHUNK_MB", "0.1")
+        got, _ = _run_producer(args, mi, vw, B=512, K=2,
+                               count_keys={"lr": 0},
+                               monkeypatch=monkeypatch, fused=True)
+        _assert_streams_identical(ref, got)
+        # and the general path agrees under tiny chunks too
+        got2, _ = _run_producer(args, mi, vw, B=512, K=2,
+                                count_keys={"lr": 0},
+                                monkeypatch=monkeypatch, fused=False)
+        _assert_streams_identical(ref, got2)
