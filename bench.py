@@ -1026,13 +1026,21 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
                     det["cpu_probe_ms"] = cpu_probe_ms()
                     dets10.append(det)
                     del r10
+                    if budget_left() < 250:
+                        break
                     # quietness judged against the 1M runs' best probe
                     # (same process): a lone 10M det would otherwise be
                     # its own base
                     base1m = min((d.get("cpu_probe_ms") or 1e9)
                                  for d in run_details)
-                    if quiet_run_indices(dets10[-1:], base=base1m) \
-                            or budget_left() < 250:
+                    # never quiet-break on attempt 1: on a cold persistent
+                    # cache the first child pays the whole vocab-growth
+                    # compile ladder in-loop (measured 110k vs 356k for
+                    # the very next child, same window) — attempt 1
+                    # doubles as the cache warm, so a "quiet" first run
+                    # must still be re-sampled once
+                    if len(dets10) >= 2 and \
+                            quiet_run_indices(dets10[-1:], base=base1m):
                         break
                 best10 = max(dets10, key=lambda d: d["ex_s"])
                 extras["headline_10m"] = best10
@@ -1120,6 +1128,13 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
                       file=sys.stderr)
             except Exception as e:  # noqa: BLE001 — optional row
                 print(f"# ffm text-train row failed: {e}", file=sys.stderr)
+
+        # the FFM model (and its jitted steps + host staging buffers) is
+        # finished — free it so the b29 phase doesn't stack on top of it
+        # (rss_phases_mb accumulation, VERDICT r4 weak #3)
+        del fmodel, fmi, fargs
+        import gc
+        gc.collect()
 
         # BASELINE config-4 end-to-end (VERDICT r4 #3): the 2^29-weight
         # FFM trained end-to-end on the single chip (cache-train — the
