@@ -1007,17 +1007,31 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
             # fresh subprocess per run (RSS isolation — the in-process
             # native predictor + its model copy used to accumulate ~800 MB
             # into this process); the rate uses the child's IN-LOOP
-            # elapsed, not the wall clock around the subprocess
+            # elapsed, not the wall clock around the subprocess.
+            # The reference's 592k predict number is a 10M-row run
+            # (BENCHMARK.md:21-22, 16.9 s whole process) — predict over
+            # the same scale when the budget allows, so the one-time
+            # model load amortizes exactly like the reference's
+            predict_rows = rows
+            pargv = argv
+            if rows == 1_000_000 and budget_left() > 330:
+                pdata = ensure_dataset(10_000_000)
+                pargv = _base_argv(pdata)
+                predict_rows = 10_000_000
             pruns = []
             for _ in range(3):
-                pres = child_train(argv + ["-t", "-i", str(mpath)])
+                pres = child_train(pargv + ["-t", "-i", str(mpath)])
                 pruns.append(pres["examples"] / pres["elapsed"])
+                if budget_left() < 250:
+                    break
             extras["predict_ex_s"] = round(float(np.mean(pruns)))
             extras["predict_runs"] = [round(r) for r in pruns]
+            extras["predict_rows"] = predict_rows
             _rss_phase(rssp, "predict")
             checkpoint()
-            print(f"# predict (-t -i, 3-run mean): {np.mean(pruns):,.0f} "
-                  f"ex/s (ref 592k)", file=sys.stderr)
+            print(f"# predict (-t -i, {len(pruns)}-run mean, "
+                  f"{predict_rows} rows): {np.mean(pruns):,.0f} "
+                  f"ex/s (ref 592k at 10M rows)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — predict row is optional
             print(f"# predict probe failed: {e}", file=sys.stderr)
 
