@@ -1054,7 +1054,17 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
                 # the persistent cache.
                 for _attempt in range(3):
                     t_run = time.time()
-                    r10 = child_train(_base_argv(data10), timeout=600)
+                    try:
+                        # bound each attempt by the remaining deadline so
+                        # one wedged child can't eat the whole budget, and
+                        # keep earlier attempts' dets if a later one dies
+                        r10 = child_train(
+                            _base_argv(data10),
+                            timeout=max(150, min(600, budget_left() - 40)))
+                    except Exception as e:  # noqa: BLE001
+                        print(f"# 10M attempt {_attempt + 1} failed: {e}",
+                              file=sys.stderr)
+                        break
                     det = summarize_counters(r10.get("counters", {}),
                                              r10["examples"], t_run)
                     det["probe_link_mb_s"] = probe_link_mb_s()
@@ -1077,6 +1087,8 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
                     if len(dets10) >= 2 and \
                             quiet_run_indices(dets10[-1:], base=base1m):
                         break
+                if not dets10:
+                    raise RuntimeError("no 10M attempt completed")
                 best10 = max(dets10, key=lambda d: d["ex_s"])
                 extras["headline_10m"] = best10
                 extras["headline_10m_runs"] = dets10
