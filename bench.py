@@ -1053,18 +1053,27 @@ def bench_end_to_end(rows: int, force_cpu: bool) -> dict:
                 # uses the child's in-loop elapsed, compiles served by
                 # the persistent cache.
                 for _attempt in range(3):
+                    if budget_left() < 200:
+                        break
                     t_run = time.time()
                     try:
                         # bound each attempt by the remaining deadline so
-                        # one wedged child can't eat the whole budget, and
-                        # keep earlier attempts' dets if a later one dies
+                        # one wedged child can't eat the whole budget
+                        # (bench 3 of 2026-08-20: a mid-bench tunnel
+                        # collapse held attempt 1 for 535 s at 18.7k
+                        # ex/s); until one attempt lands, cap at 330 s —
+                        # enough for a cold-cache compile ladder in a
+                        # mediocre window — so a wedged attempt leaves
+                        # the rest of the budget for a recovered window
                         r10 = child_train(
                             _base_argv(data10),
-                            timeout=max(150, min(600, budget_left() - 40)))
+                            timeout=max(150, min(330 if not dets10
+                                                 else 600,
+                                                 budget_left() - 40)))
                     except Exception as e:  # noqa: BLE001
-                        print(f"# 10M attempt {_attempt + 1} failed: {e}",
-                              file=sys.stderr)
-                        break
+                        print(f"# 10M attempt {_attempt + 1} failed: "
+                              f"{str(e)[:200]}", file=sys.stderr)
+                        continue
                     det = summarize_counters(r10.get("counters", {}),
                                              r10["examples"], t_run)
                     det["probe_link_mb_s"] = probe_link_mb_s()
